@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+``value`` is total wall time of the headline set; per-query seconds under
+"queries". Also reports rollup throughput (samples/sec) for the flagship
+tier job under "samples_per_sec" (north_rule metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "rollup_5m",
+    "rollup_1h_from_5m",
+    "rollup_1d_from_1h",
+    "counter_rate_5m",
+    "topk5_users",
+    "gapfill_locf_1h",
+    "gapfill_linear_1h",
+    "p95_value_by_type",
+    "tpch_q1",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from gfs_to_prometheus_spark.queries import QUERIES
+    from gfs_to_prometheus_spark.session import get_spark
+
+    spark = get_spark(app="bench", cpus=cpus)
+
+    # warm the JVM + file listing once so per-query numbers measure the
+    # queries, not session startup
+    n_samples = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 4)
+        total += dt
+
+    t0 = time.perf_counter()
+    QUERIES["rollup_5m"](spark, sf_dir).count()
+    rollup_dt = time.perf_counter() - t0
+
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "cpus": cpus,
+                "n_samples": n_samples,
+                "samples_per_sec": round(n_samples / rollup_dt, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

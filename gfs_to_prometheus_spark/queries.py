@@ -1,0 +1,339 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir)
+callable plus a DuckDB-equivalent oracle SQL string (driver contract in
+__spark_entry__.py).
+
+Cross-engine exact-match rules (see timeutil):
+* summable doubles -> scaled int64 via floor(x*1e6+0.5) before SUM
+* time buckets     -> integer floor-div of epoch-ms
+* "last"           -> max_by/arg_max on ts (ts unique per series in data)
+* interpolation    -> one fixed double expression, same parenthesization
+  in both engines (IEEE ops are deterministic, so bits match)
+* output columns   -> aliased identically on both sides; no raw timestamps
+  (bigint epoch-ms instead) to dodge tz/precision hashing differences
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from . import gapfill, rate as rate_mod, rollup as rollup_mod
+from .timeutil import micro, sql_micro
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Rollup tiers (A1/A9) — the engine core
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT event_type,
+       (epoch_ms(ts) // {ms}) * {ms}                     AS bucket_ms,
+       min(value)                                        AS vmin,
+       max(value)                                        AS vmax,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+       count(*)                                          AS cnt,
+       arg_max(value, ts)                                AS last,
+       max(epoch_ms(ts))                                 AS last_ts_ms
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("rollup_5m", _ROLLUP_SQL.format(ms=300_000))
+def rollup_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rollup_mod.rollup(load(spark, sf_dir, "events"), 300)
+
+
+@query("rollup_1h_from_5m", _ROLLUP_SQL.format(ms=3_600_000))
+def rollup_1h_from_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tier merged from 5m partials (A9); oracle aggregates raw directly —
+    equality proves the merge is lossless."""
+    t5 = rollup_mod.rollup(load(spark, sf_dir, "events"), 300)
+    return rollup_mod.rollup_merge(t5, 3600)
+
+
+@query("rollup_1d_from_1h", _ROLLUP_SQL.format(ms=86_400_000))
+def rollup_1d_from_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t5 = rollup_mod.rollup(load(spark, sf_dir, "events"), 300)
+    t1h = rollup_mod.rollup_merge(t5, 3600)
+    return rollup_mod.rollup_merge(t1h, 86400)
+
+
+# ---------------------------------------------------------------------------
+# Counter rate with reset correction (A3, D1/W1)
+# ---------------------------------------------------------------------------
+
+_RESET_MOD = 10_000_000_000  # synthetic reset injection for the test counter
+
+_RATE_SQL = f"""
+WITH c AS (
+    SELECT event_type, ts,
+           sum({sql_micro('value')}) OVER (
+               PARTITION BY event_type ORDER BY ts
+           ) % {_RESET_MOD} AS counter
+    FROM events
+), d AS (
+    SELECT event_type, ts, counter,
+           lag(counter) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+    FROM c
+)
+SELECT event_type,
+       (epoch_ms(ts) // 300000) * 300000 AS bucket_ms,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                WHEN counter >= prev THEN counter - prev
+                ELSE counter END) AS BIGINT) AS increase,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                WHEN counter >= prev THEN counter - prev
+                ELSE counter END) AS DOUBLE) / 300.0 AS rate
+FROM d
+GROUP BY 1, 2
+"""
+
+
+@query("counter_rate_5m", _RATE_SQL)
+def counter_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-corrected rate(m[5m]). The counter is synthesized as a cumulative
+    sum of scaled values modulo a constant — the modulo injects deterministic
+    resets, exercising the correction (/root/reference counter semantics,
+    internal/gfs/parser.go:38)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts")
+    counter = (F.sum(micro("value")).over(w) % _RESET_MOD).alias("counter")
+    c = ev.select("event_type", "ts", counter)
+    return rate_mod.rate(c, 300)
+
+
+# ---------------------------------------------------------------------------
+# PromQL-surface re-aggregations (A4/A5/A6/A8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sum_by_event_type",
+    f"SELECT event_type, CAST(sum({sql_micro('value')}) AS BIGINT) AS sum_micro,"
+    " count(*) AS cnt FROM events GROUP BY 1",
+)
+def sum_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.sum(micro("value")).alias("sum_micro"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "topk5_users",
+    f"""
+WITH agg AS (
+    SELECT event_type, user_id,
+           CAST(sum({sql_micro('value')}) AS BIGINT) AS sum_micro
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, sum_micro, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY sum_micro DESC, user_id ASC
+    ) AS rank FROM agg
+) WHERE rank <= 5
+""",
+)
+def topk5_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk(5, sum by (user)) per event_type (README.md:157 analog)."""
+    return rollup_mod.topk(
+        load(spark, sf_dir, "events").withColumn("sum_micro", micro("value")),
+        k=5,
+        by=["user_id"],
+        rank_within=["event_type"],
+    )
+
+
+@query(
+    "active_users_by_type",
+    "SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY 1",
+)
+def active_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count by (...) nested-count analog (dashboard 'Total Nodes' panel)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_P95_SQL = """
+WITH s AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+           count(*)   OVER (PARTITION BY event_type) AS n
+    FROM events
+)
+SELECT event_type,
+       min(CASE WHEN rn = CAST(floor((n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN value END)
+       + ((n - 1) * CAST(0.95 AS DOUBLE) - floor((n - 1) * CAST(0.95 AS DOUBLE)))
+         * (min(CASE WHEN rn = CAST(ceil((n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN value END)
+            - min(CASE WHEN rn = CAST(floor((n - 1) * CAST(0.95 AS DOUBLE)) AS BIGINT) THEN value END))
+       AS p95
+FROM s
+GROUP BY event_type, n
+"""
+
+
+@query("p95_value_by_type", _P95_SQL)
+def p95_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram_quantile(0.95, ...) analog (A8) as an exact interpolated
+    percentile, computed with an explicit rank/blend formula so both engines
+    produce bit-identical doubles (library quantile implementations differ
+    in FP evaluation order)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value")
+    s = ev.select(
+        "event_type",
+        "value",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+    )
+    k = (F.col("n") - 1) * 0.95
+    lo = F.min(
+        F.when(F.col("rn") == F.floor(k).cast("long"), F.col("value"))
+    )
+    hi = F.min(
+        F.when(F.col("rn") == F.ceil(k).cast("long"), F.col("value"))
+    )
+    frac = k - F.floor(k)
+    return (
+        s.groupBy("event_type", "n")
+        .agg((lo + frac * (hi - lo)).alias("p95"))
+        .select("event_type", "p95")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill (§2.8)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_BASE = """
+WITH sparse AS (
+    SELECT event_type, (epoch_ms(ts) // {ms}) * {ms} AS bucket_ms,
+           arg_max(value, ts) AS obs
+    FROM events GROUP BY 1, 2
+), rng AS (
+    SELECT min((epoch_ms(ts) // {ms}) * {ms}) AS b0,
+           max((epoch_ms(ts) // {ms}) * {ms}) AS b1
+    FROM events
+), dense AS (
+    SELECT k.event_type, g.bucket_ms
+    FROM (SELECT DISTINCT event_type FROM events) k
+    CROSS JOIN (
+        SELECT unnest(generate_series(b0, b1, {ms})) AS bucket_ms FROM rng
+    ) g
+), joined AS (
+    SELECT d.event_type, d.bucket_ms, s.obs
+    FROM dense d LEFT JOIN sparse s
+      ON d.event_type = s.event_type AND d.bucket_ms = s.bucket_ms
+)
+"""
+
+_LOCF_SQL = (
+    _GAPFILL_BASE.format(ms=3_600_000)
+    + """
+SELECT event_type, bucket_ms, obs,
+       last_value(obs IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_ms
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled
+FROM joined
+"""
+)
+
+
+@query("gapfill_locf_1h", _LOCF_SQL)
+def gapfill_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill.locf(load(spark, sf_dir, "events"), 3600)
+
+
+_LINEAR_SQL = (
+    _GAPFILL_BASE.format(ms=3_600_000)
+    + """
+, ext AS (
+    SELECT event_type, bucket_ms, obs,
+           last_value(obs IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN obs IS NOT NULL
+                           THEN CAST(bucket_ms AS DOUBLE) END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket_ms
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           first_value(obs IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_ms
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN obs IS NOT NULL
+                            THEN CAST(bucket_ms AS DOUBLE) END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY bucket_ms
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+    FROM joined
+)
+SELECT event_type, bucket_ms, obs,
+       CASE WHEN obs IS NOT NULL THEN obs
+            WHEN pv IS NULL THEN NULL
+            WHEN nv IS NULL THEN pv
+            ELSE pv + (nv - pv) * ((CAST(bucket_ms AS DOUBLE) - pt) / (nt - pt))
+       END AS filled
+FROM ext
+"""
+)
+
+
+@query("gapfill_linear_1h", _LINEAR_SQL)
+def gapfill_linear_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill.linear(load(spark, sf_dir, "events"), 3600)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H style relational parity (scan/filter/project/agg pushdown checks)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q1",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum({sql_micro('l_quantity')}) AS BIGINT)                        AS sum_qty_micro,
+       CAST(sum({sql_micro('l_extendedprice')}) AS BIGINT)                   AS sum_base_micro,
+       CAST(sum({sql_micro('l_extendedprice * (1 - l_discount)')}) AS BIGINT) AS sum_disc_micro,
+       CAST(sum({sql_micro('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS BIGINT) AS sum_charge_micro,
+       count(*) AS cnt
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY 1, 2
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc * (F.lit(1) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(micro("l_quantity")).alias("sum_qty_micro"),
+        F.sum(micro("l_extendedprice")).alias("sum_base_micro"),
+        F.sum(micro(disc)).alias("sum_disc_micro"),
+        F.sum(micro(charge)).alias("sum_charge_micro"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
