@@ -1,0 +1,114 @@
+"""Per-series chunk materialization — the TSDB-block analog (S8, §2.11).
+
+The reference appends per-series samples into Prometheus TSDB 2h blocks
+(Gorilla chunks, /root/reference/internal/tsdb/writer.go:29-34). Here a
+chunk row is built per (series, tumbling block) by a grouped vectorized
+pandas UDF over the numpy codecs:
+
+    (series..., block_start_ms, n, t_min_ms, t_max_ms,
+     ts_chunk: binary, val_chunk: binary, codec: string)
+
+Scale design
+------------
+* The applyInPandas group key is (series, block): a hot series is already
+  split across time blocks, bounding group size by cadence x block span.
+* For blocks that are STILL hot (FIXTURES.md: 1% of series carry 50% of
+  samples), pass ``salt > 1``: a deterministic pmod(xxhash64(ts), salt)
+  sub-key splits one block into `salt` chunks. Readers are oblivious —
+  decode just yields more chunk rows. This is the explicit skew control
+  the north_rule demands (AQE cannot split a single pandas-UDF group).
+* Chunks land partitioned by block day -> retention (retention.py) is a
+  metadata-only partition drop, mirroring writer.go:27's 365d horizon.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from . import codecs
+from .timeutil import epoch_ms
+
+CODEC_NAME = "dod+gorilla-v1"
+
+CHUNK_FIELDS = (
+    "block_start_ms bigint, n bigint, t_min_ms bigint, t_max_ms bigint, "
+    "ts_chunk binary, val_chunk binary, codec string"
+)
+
+
+def _series_schema(df: DataFrame, series: Sequence[str]) -> str:
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"{c} {by_name[c]}" for c in series)
+
+
+def encode_chunks(
+    df: DataFrame,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+    block_s: int = 7200,
+    salt: int = 1,
+) -> DataFrame:
+    """samples -> chunk rows. One shuffle on (series, block[, salt])."""
+    step_ms = block_s * 1000
+    base = df.select(
+        *series,
+        epoch_ms(ts).alias("_ts_ms"),
+        F.col(value).cast("double").alias("_val"),
+    ).withColumn(
+        "_block", (F.floor(F.col("_ts_ms") / F.lit(step_ms)) * step_ms).cast("long")
+    )
+    keys = [*series, "_block"]
+    if salt > 1:
+        base = base.withColumn("_salt", F.pmod(F.xxhash64("_ts_ms"), F.lit(salt)))
+        keys.append("_salt")
+
+    out_schema = f"{_series_schema(df, series)}, {CHUNK_FIELDS}"
+    series_l = list(series)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_ts_ms", kind="mergesort")
+        t = pdf["_ts_ms"].to_numpy(np.int64)
+        v = pdf["_val"].to_numpy(np.float64)
+        row = {c: [pdf[c].iloc[0]] for c in series_l}
+        row.update(
+            block_start_ms=[int(pdf["_block"].iloc[0])],
+            n=[len(t)],
+            t_min_ms=[int(t[0])],
+            t_max_ms=[int(t[-1])],
+            ts_chunk=[codecs.dod_encode(t)],
+            val_chunk=[codecs.xor_encode(v)],
+            codec=[CODEC_NAME],
+        )
+        return pd.DataFrame(row)
+
+    return base.groupBy(*keys).applyInPandas(build, schema=out_schema)
+
+
+def decode_chunks(
+    chunks: DataFrame, series: Sequence[str] = ("event_type",)
+) -> DataFrame:
+    """chunk rows -> samples (series..., ts_ms, value). Narrow map — each
+    chunk decodes independently (mapInPandas, no shuffle)."""
+    series_l = list(series)
+    out_schema = f"{_series_schema(chunks, series_l)}, ts_ms bigint, value double"
+
+    def expand(batches):
+        for pdf in batches:
+            frames = []
+            for _, r in pdf.iterrows():
+                n = int(r["n"])
+                t = codecs.dod_decode(bytes(r["ts_chunk"]), n)
+                v = codecs.xor_decode(bytes(r["val_chunk"]), n)
+                d = {c: np.repeat(r[c], n) for c in series_l}
+                d["ts_ms"] = t
+                d["value"] = v
+                frames.append(pd.DataFrame(d))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return chunks.mapInPandas(expand, schema=out_schema)

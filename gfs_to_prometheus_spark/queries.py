@@ -337,3 +337,54 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(micro(charge)).alias("sum_charge_micro"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk codec pipeline (S8/§2.11) — encode->decode identity proven via oracle
+# ---------------------------------------------------------------------------
+
+from . import chunks as chunks_mod  # noqa: E402
+
+
+@query(
+    "chunk_roundtrip",
+    "SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events",
+)
+def chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every (event_type, 2h block) into DoD+Gorilla binary chunks,
+    decode back; the oracle is the identity projection — equality proves the
+    codecs and the chunk plumbing are lossless."""
+    ev = load(spark, sf_dir, "events")
+    return chunks_mod.decode_chunks(chunks_mod.encode_chunks(ev))
+
+
+@query(
+    "chunk_roundtrip_salted",
+    "SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events",
+)
+def chunk_roundtrip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same, but with salt=4 splitting each hot block into 4 chunks —
+    the explicit skew control; decode must still be the identity."""
+    ev = load(spark, sf_dir, "events")
+    return chunks_mod.decode_chunks(chunks_mod.encode_chunks(ev, salt=4))
+
+
+@query(
+    "chunk_meta",
+    """
+SELECT event_type,
+       (epoch_ms(ts) // 7200000) * 7200000 AS block_start_ms,
+       count(*)      AS n,
+       min(epoch_ms(ts)) AS t_min_ms,
+       max(epoch_ms(ts)) AS t_max_ms
+FROM events GROUP BY 1, 2
+""",
+)
+def chunk_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-row metadata (block boundaries, sample counts) checked exactly
+    against a plain SQL aggregate — validates 2h tumbling block cut (W3/ST6,
+    /root/reference/internal/tsdb/writer.go:29)."""
+    ev = load(spark, sf_dir, "events")
+    return chunks_mod.encode_chunks(ev).select(
+        "event_type", "block_start_ms", "n", "t_min_ms", "t_max_ms"
+    )

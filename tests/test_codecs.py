@@ -1,0 +1,99 @@
+"""Property tests for the chunk codecs (SURVEY.md §5.2-3): random seeded
+series must survive encode->decode bit-for-bit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gfs_to_prometheus_spark import codecs
+
+
+def test_dod_roundtrip_typical_cadence():
+    rng = np.random.default_rng(42)
+    ts = 1704067200000 + np.cumsum(
+        rng.integers(900, 1100, size=5000)
+    ).astype(np.int64)
+    assert np.array_equal(codecs.dod_decode(codecs.dod_encode(ts), len(ts)), ts)
+
+
+def test_dod_roundtrip_constant_cadence_compresses():
+    ts = 1704067200000 + 1000 * np.arange(10000, dtype=np.int64)
+    enc = codecs.dod_encode(ts)
+    assert np.array_equal(codecs.dod_decode(enc, len(ts)), ts)
+    # t0(64) + first delta (~2+7) + 9998 zero bits -> ~1.27 kB vs 80 kB raw
+    assert len(enc) < len(ts) * 8 / 50
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62 - 1),
+        min_size=0,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_dod_roundtrip_hypothesis(xs):
+    ts = np.sort(np.array(xs, dtype=np.int64)) if xs else np.empty(0, np.int64)
+    assert np.array_equal(codecs.dod_decode(codecs.dod_encode(ts), len(ts)), ts)
+
+
+def test_xor_roundtrip_walk():
+    rng = np.random.default_rng(42)
+    v = np.cumsum(rng.normal(0, 1, 5000))
+    out = codecs.xor_decode(codecs.xor_encode(v), len(v))
+    assert np.array_equal(v.view(np.uint64), out.view(np.uint64))
+
+
+def test_xor_constant_series_compresses():
+    v = np.full(10000, 997.4038)  # the reference's golden value
+    enc = codecs.xor_encode(v)
+    assert np.array_equal(codecs.xor_decode(enc, len(v)), v)
+    assert len(enc) < len(v)  # ~1 bit/sample after the first
+
+
+@given(
+    st.lists(
+        st.floats(allow_nan=False, width=64),
+        min_size=0,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_xor_roundtrip_hypothesis(xs):
+    v = np.array(xs, dtype=np.float64)
+    out = codecs.xor_decode(codecs.xor_encode(v), len(v))
+    assert np.array_equal(v.view(np.uint64), out.view(np.uint64))
+
+
+def test_xor_nan_bits_preserved():
+    v = np.array([1.0, float("nan"), float("inf"), -0.0, 0.0])
+    out = codecs.xor_decode(codecs.xor_encode(v), len(v))
+    assert np.array_equal(v.view(np.uint64), out.view(np.uint64))
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=0,
+        max_size=300,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_compact_roundtrip_hypothesis(xs):
+    v = np.array(xs, dtype=np.int64)
+    assert np.array_equal(codecs.compact_decode(codecs.compact_encode(v)), v)
+
+
+@pytest.mark.parametrize(
+    "val,nbytes",
+    [(0, 1), (127, 1), (-121, 1), (-122, 3), (128, 3), (32767, 3),
+     (32768, 4), (2**62, 9)],
+)
+def test_compact_sizes(val, nbytes):
+    """Byte-width semantics of the Geode compact form
+    (/root/reference/internal/gfs/statarchive.go:1034-1088: 1-byte direct,
+    token + N-byte big-endian otherwise)."""
+    assert len(codecs.compact_encode(np.array([val]))) == nbytes
