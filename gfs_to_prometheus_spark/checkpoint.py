@@ -1,0 +1,104 @@
+"""Per-partition checkpoint / lineage / metrics (north_rule requirement;
+S9 transactional-commit analog of /root/reference/internal/tsdb/writer.go:64-88).
+
+Model
+-----
+Work is committed per *time partition* (day). For every completed
+partition the pipeline appends one lineage row:
+
+    (job_id, table, part, rows, sum_micro_checksum, wall_ms, committed_utc)
+
+Resume = anti-join the input's partitions against committed lineage rows
+(W7 dedup pattern — the ``sync.Map`` once-only analog from
+/root/reference/internal/watcher/watcher.go:80-90, made durable).
+
+Idempotence: data is written with dynamic partition OVERWRITE, so a crash
+after data-write but before lineage-append just rewrites that partition on
+resume — output is identical to an uninterrupted run, never duplicated.
+On Iceberg this maps to `overwritePartitions()` snapshots with the lineage
+row in the same transaction; on plain parquet (sandbox) the partition dir
+is the commit unit.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LINEAGE_SCHEMA = (
+    "job_id string, table string, part string, rows bigint, "
+    "sum_micro_checksum bigint, wall_ms bigint, committed_utc string"
+)
+
+
+def lineage_path(root: str) -> str:
+    return os.path.join(root, "_lineage")
+
+
+def read_lineage(spark: SparkSession, root: str) -> DataFrame:
+    p = lineage_path(root)
+    try:
+        return spark.read.schema(LINEAGE_SCHEMA).parquet(p)
+    except Exception:
+        return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+
+def completed_parts(spark: SparkSession, root: str, table: str) -> set[str]:
+    return {
+        r["part"]
+        for r in read_lineage(spark, root)
+        .filter(F.col("table") == table)
+        .select("part")
+        .distinct()
+        .collect()
+    }
+
+
+def append_lineage(
+    spark: SparkSession,
+    root: str,
+    job_id: str,
+    table: str,
+    parts_stats: list[tuple[str, int, int]],
+    wall_ms: int,
+) -> None:
+    """parts_stats: [(part, rows, sum_micro_checksum)]."""
+    now = datetime.now(timezone.utc).isoformat()
+    rows = [
+        (job_id, table, p, int(n), int(chk), int(wall_ms), now)
+        for p, n, chk in parts_stats
+    ]
+    spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(lineage_path(root))
+
+
+def write_partitioned(
+    df: DataFrame, root: str, table: str, part_col: str = "part"
+) -> None:
+    """Dynamic partition overwrite — reprocessing a partition replaces it."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(os.path.join(root, table))
+    )
+
+
+def partition_stats(df: DataFrame, part_col: str = "part") -> list[tuple[str, int, int]]:
+    """(part, rows, order-independent checksum) per partition — the counter
+    metrics written alongside each commit."""
+    # bit_xor: order-independent and overflow-free (ANSI mode rejects
+    # overflowing sums of hashes)
+    rows = (
+        df.groupBy(part_col)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(F.bit_xor(F.xxhash64(*df.columns)), F.lit(0)).alias("chk"),
+        )
+        .collect()
+    )
+    return [(str(r[part_col]), r["rows"], r["chk"]) for r in rows]

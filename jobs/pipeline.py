@@ -1,0 +1,147 @@
+"""End-to-end resumable pipeline job (spark-submit entrypoint).
+
+    spark-submit --py-files gfs_to_prometheus_spark.zip jobs/pipeline.py \
+        --out /data/tsdb --n-docs 100000 [--job-id run1] [--days-limit N]
+
+Mirrors the reference's convert lifecycle (SURVEY.md §3.1/3.2):
+read/derive samples -> validity filters -> rollup tiers 5m/1h/1d ->
+chunk encode -> partitioned write, committed per day-partition with
+lineage + counter metrics (checkpoint.py), resumable after a kill.
+
+The fan-out story replaces the reference's goroutine semaphore
+(/root/reference/internal/cluster/processor.go:98-128): partitions ARE
+the concurrency unit; the shared-TSDB-writer bottleneck (and its
+close-once bug, cluster/converter.go:72) disappears because every task
+writes its own files and the partition commit coordinates.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gfs_to_prometheus_spark import checkpoint, chunks, synth
+from gfs_to_prometheus_spark.rollup import rollup, rollup_merge
+
+SERIES = ("series_key",)
+
+
+def build_samples(spark: SparkSession, n_docs: int) -> DataFrame:
+    seq = synth.sequences(spark, n_docs)
+    s = synth.samples_from_sequences(seq)
+    # dedupe ties (series, ts) deterministically, add day partition + ts
+    return (
+        s.groupBy("series_key", "ts_ms")
+        .agg(F.max("value").alias("value"))
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+        .withColumn("part", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    )
+
+
+def run(
+    spark: SparkSession,
+    out: str,
+    n_docs: int = 10_000,
+    job_id: str = "job",
+    days_limit: int | None = None,
+    salt: int = 4,
+) -> dict[str, int]:
+    """Process every not-yet-committed day partition; returns rows written
+    per table. Calling again after a crash (or with a higher days_limit)
+    completes the remainder; output is identical to one uninterrupted run."""
+    samples = build_samples(spark, n_docs)
+
+    all_days = sorted(
+        r["part"] for r in samples.select("part").distinct().collect()
+    )
+    if days_limit is not None:
+        all_days = all_days[:days_limit]
+    # resume marker = the LAST table in the commit chain: a day counted as
+    # done only when the full chain committed; partially-committed days are
+    # safely rewritten (dynamic partition overwrite is idempotent)
+    done = checkpoint.completed_parts(spark, out, "chunks")
+    todo = [d for d in all_days if d not in done]
+    if not todo:
+        return {}
+    day_samples = samples.filter(F.col("part").isin(todo))
+    # cache: every tier + chunks reads this once-computed slice
+    day_samples.cache()
+
+    written: dict[str, int] = {}
+    t0 = time.monotonic()
+
+    t5 = rollup(day_samples, 300, series=SERIES).withColumn(
+        "part", F.date_format(F.timestamp_millis("bucket_ms"), "yyyy-MM-dd")
+    )
+    t5.cache()
+    _commit(spark, out, job_id, "rollup_5m", t5, t0)
+    written["rollup_5m"] = t5.count()
+
+    t1h = rollup_merge(t5, 3600, series=SERIES).withColumn(
+        "part", F.date_format(F.timestamp_millis("bucket_ms"), "yyyy-MM-dd")
+    )
+    _commit(spark, out, job_id, "rollup_1h", t1h, t0)
+    written["rollup_1h"] = t1h.count()
+
+    t1d = rollup_merge(t1h.drop("part"), 86400, series=SERIES).withColumn(
+        "part", F.date_format(F.timestamp_millis("bucket_ms"), "yyyy-MM-dd")
+    )
+    _commit(spark, out, job_id, "rollup_1d", t1d, t0)
+    written["rollup_1d"] = t1d.count()
+
+    ch = chunks.encode_chunks(
+        day_samples, series=SERIES, ts="ts", value="value", salt=salt
+    ).withColumn(
+        "part", F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd")
+    )
+    _commit(spark, out, job_id, "chunks", ch, t0)
+    written["chunks"] = ch.count()
+
+    t5.unpersist()
+    day_samples.unpersist()
+    return written
+
+
+def _commit(
+    spark: SparkSession,
+    out: str,
+    job_id: str,
+    table: str,
+    df: DataFrame,
+    t0: float,
+) -> None:
+    checkpoint.write_partitioned(df, out, table)
+    stats = checkpoint.partition_stats(
+        spark.read.parquet(os.path.join(out, table))
+    )
+    checkpoint.append_lineage(
+        spark, out, job_id, table, stats, int((time.monotonic() - t0) * 1000)
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--n-docs", type=int, default=10_000)
+    ap.add_argument("--job-id", default="job")
+    ap.add_argument("--days-limit", type=int, default=None)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    from gfs_to_prometheus_spark.session import get_spark
+
+    spark = get_spark(app="pipeline", cpus=args.cpus)
+    written = run(
+        spark, args.out, args.n_docs, args.job_id, args.days_limit
+    )
+    print({"written": written})
+
+
+if __name__ == "__main__":
+    main()

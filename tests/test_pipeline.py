@@ -1,0 +1,82 @@
+"""Pipeline resumability + tiered retention (SURVEY.md §5.2-6, north_rule:
+'resumes from per-partition checkpoints with lineage + counter metrics')."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfs_to_prometheus_spark import checkpoint, retention
+from jobs import pipeline
+
+N_DOCS = 400
+
+
+def _table_fingerprint(spark, root, table):
+    df = spark.read.parquet(os.path.join(root, table))
+    (row,) = (
+        df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64(*df.columns)), F.lit(0)).alias("chk"),
+        ).collect()
+    )
+    return row["n"], row["chk"]
+
+
+def test_resume_equals_uninterrupted(spark, tmp_path):
+    """Run A: interrupted (only 2 day-partitions), then resumed to
+    completion. Run B: uninterrupted. Outputs must be identical and no
+    partition may be processed twice."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+
+    pipeline.run(spark, a, N_DOCS, job_id="partial", days_limit=2)
+    done_after_partial = checkpoint.completed_parts(spark, a, "chunks")
+    assert len(done_after_partial) == 2
+
+    pipeline.run(spark, a, N_DOCS, job_id="resume")  # picks up the rest
+    pipeline.run(spark, b, N_DOCS, job_id="full")
+
+    for table in ("rollup_5m", "rollup_1h", "rollup_1d", "chunks"):
+        assert _table_fingerprint(spark, a, table) == _table_fingerprint(
+            spark, b, table
+        ), table
+
+    # lineage: the resume job must not have re-committed the partial days
+    lin = checkpoint.read_lineage(spark, a)
+    resumed = {
+        r["part"]
+        for r in lin.filter(
+            (F.col("job_id") == "resume") & (F.col("table") == "rollup_5m")
+        ).collect()
+    }
+    assert not (resumed & done_after_partial)
+
+
+def test_noop_when_all_committed(spark, tmp_path):
+    out = str(tmp_path / "c")
+    pipeline.run(spark, out, N_DOCS, job_id="full")
+    assert pipeline.run(spark, out, N_DOCS, job_id="again") == {}
+
+
+def test_tiered_retention(spark, tmp_path):
+    out = str(tmp_path / "r")
+    pipeline.run(spark, out, N_DOCS, job_id="full")
+    days = retention.list_parts(out, "rollup_5m")
+    assert days
+    # horizon chosen so the oldest day ages out of chunks+5m but stays in 1h/1d
+    from datetime import date, timedelta
+
+    today = (date.fromisoformat(days[0]) + timedelta(days=3)).isoformat()
+    pol = retention.RetentionPolicy(
+        {"chunks": 2, "rollup_5m": 2, "rollup_1h": 30, "rollup_1d": None}
+    )
+    dropped = retention.apply_retention(out, pol, today)
+    assert days[0] in dropped.get("chunks", [])
+    assert days[0] in dropped.get("rollup_5m", [])
+    assert "rollup_1h" not in dropped
+    # surviving tiers still readable and non-empty
+    assert spark.read.parquet(os.path.join(out, "rollup_1h")).count() > 0
+    remaining = retention.list_parts(out, "rollup_5m")
+    assert days[0] not in remaining
