@@ -1,0 +1,196 @@
+"""Deduplication family over the documents table.
+
+* exact:      md5(text) hash-groupBy — one shuffle on the digest.
+* n-gram Jaccard: word n-gram shingle sets, shingle-equi-join to count
+  intersections, exact Jaccard filter. Exact (oracle-checkable); the
+  shingle join is the quadratic-in-duplicates baseline.
+* MinHash + LSH:  k permutations via xxhash64(perm, shingle) -> min;
+  band signatures -> bucket equi-join -> candidates -> exact-Jaccard
+  verify. The scale path: cost is (docs x k) + candidate pairs, never
+  all-pairs. Probabilistic (banding), so its queries() entry is
+  rows-only rather than oracle-checked.
+* SimHash:    64-bit sign-vector of md5-derived token hashes; stored as
+  the low 60 bits (bigint-safe in every engine). Hamming-ball pairs via
+  band join.
+
+Shingle hashing uses md5 (not xxhash64) wherever an oracle must
+reproduce the value; xxhash64 only where Spark-side speed matters and
+no oracle applies (minhash perms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import ws_tokens
+
+
+def shingles(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct word n-grams; docs shorter than n words
+    contribute their whole trimmed text as the single shingle."""
+    toks = ws_tokens(text)
+    sh = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.trim(F.col(text))))
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def exact_dups(df: DataFrame, text: str = "text") -> DataFrame:
+    """Exact dedup index: digest -> group size + keeper (min doc_id)."""
+    return (
+        df.groupBy(F.md5(F.col(text)).alias("text_md5"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, threshold: float, text: str = "text", n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
+
+    Plan: shingle table S; |S_d| per doc; self-equi-join on shingle ->
+    per-pair intersection count; jaccard = common/(na+nb-common).
+    At 100 TB the equi-join shuffles on the shingle key — frequent
+    shingles are the skew risk; cap them with a document-frequency
+    filter (stop-shingles carry no dedup signal anyway).
+    """
+    sh = shingles(df, text, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    j = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return j.select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 32, text: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, sig: array<bigint> length k) — min over xxhash64(perm, shingle)."""
+    sh = shingles(df, text, n)
+    perms = F.array(*[F.lit(i) for i in range(k)])
+    hashed = sh.select(
+        "doc_id",
+        F.transform(perms, lambda p: F.xxhash64(p, F.col("shingle"))).alias("hs"),
+    )
+    agg = hashed.groupBy("doc_id").agg(
+        F.array_agg("hs").alias("all_hs")
+    )
+    # element-wise min across the doc's shingles, vectorized via transform
+    sig = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda i: F.array_min(
+            F.transform(F.col("all_hs"), lambda row: F.element_at(row, i.cast("int")))
+        ),
+    )
+    return agg.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    text: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding -> candidate pairs -> exact-Jaccard verification.
+
+    rows = k/bands per band; a pair collides in a band iff that band of
+    the signature matches exactly. Verified pairs carry the exact jaccard,
+    so precision is 1.0; recall follows the (1-(1-s^r)^b) curve.
+    """
+    r = k // bands
+    sig = minhash_signatures(df, k, text, n)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.slice("sig", b * r + 1, r).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("pos", "bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact = jaccard_pairs(df, threshold=0.0, text=text, n=n).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    return cands.join(exact, ["doc_a", "doc_b"], "inner").filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, text: str = "text", bits: int = 60) -> DataFrame:
+    """(doc_id, simhash bigint): sign vector over md5-derived 64-bit token
+    hashes with multiplicity; low `bits` bits only (signed-safe).
+
+    Token hash = little-endian int64 of md5 bytes 8..15 == DuckDB's
+    md5_number_lower, so the oracle reproduces it exactly.
+    """
+    toks = ws_tokens(text)
+    h = F.md5(F.element_at(toks, F.col("_i").cast("int")))
+    rev = F.concat(*[F.substring(h, 31 - 2 * j, 2) for j in range(8)])
+    tok_h = F.conv(rev, 16, -10).cast("long")
+    ex = df.select("doc_id", F.size(toks).alias("_n"), F.col(text)).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_i"),
+        F.col(text),
+    )
+    hashed = ex.select("doc_id", tok_h.alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sh = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sh = term if sh is None else sh + term
+    return bit_sums.select("doc_id", sh.alias("simhash"))

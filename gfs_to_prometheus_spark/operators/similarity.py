@@ -1,0 +1,126 @@
+"""Similarity search over the embeddings table (vec_id, embedding:
+array<float>, label).
+
+* brute-force cosine top-k: the exact baseline. Dot products use the
+  scaled-int64 sum rule (queries.py) so results are order-independent
+  and oracle-exact: term_i = floor(a_i*b_i*1e12 + 0.5) summed as bigint;
+  cosine = dot / (sqrt(na)*sqrt(nb)) in double (sqrt is IEEE-exact).
+* LSH-bucketed ANN: deterministic random-hyperplane signatures (planes
+  derived from xxhash64, no RNG state), bucket equi-join, exact-cosine
+  re-rank inside buckets. The 100 TB path: cost ~ docs x planes +
+  bucket-local pairs. Probabilistic -> rows-only check.
+
+At cluster scale the query side is a broadcast (one or few vectors);
+the corpus side stays partitioned — no shuffle of the big table for
+brute force, one shuffle on bucket keys for LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+SCALE = 1_000_000_000_000.0  # 1e12: float32 pairs scaled into int64 safely
+
+
+def _dot_terms(a, b):
+    return F.zip_with(
+        a, b, lambda x, y: F.floor(x.cast("double") * y.cast("double") * SCALE + 0.5).cast("long")
+    )
+
+
+def _sumlong(arr):
+    return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    df: DataFrame, query_vec_id: int, k: int = 10, vec: str = "embedding"
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one stored vector (self excluded).
+
+    The query row is a 1-row broadcast; everything else is a narrow map +
+    one global top-k (rank window over a single partition is fine for
+    k<<N; at scale use orderBy(limit) which Spark executes as
+    TakeOrdered — no full sort)."""
+    q = df.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec).alias("_qv")
+    )
+    joined = df.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q))
+    dot = _sumlong(_dot_terms(F.col(vec), F.col("_qv")))
+    na = _sumlong(_dot_terms(F.col(vec), F.col(vec)))
+    nb = _sumlong(_dot_terms(F.col("_qv"), F.col("_qv")))
+    cos = dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+    scored = joined.select("vec_id", cos.alias("cosine"))
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", "cosine")
+    )
+
+
+def lsh_signature(vec, planes: int = 16, dim: int = 64):
+    """Sign bits against deterministic pseudo-hyperplanes: plane p,
+    coordinate d has weight ((xxhash64(p, d) % 2001) - 1000) / 1000."""
+    bits = []
+    for p in range(planes):
+        w = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d, p=p: (
+                F.pmod(F.xxhash64(F.lit(p), d), F.lit(2001)) - 1000
+            ).cast("double")
+            / 1000.0,
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = None
+    for i, b in enumerate(bits):
+        term = b.cast("long") * (2**i)
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    planes: int = 16,
+    probe_hamming: int = 1,
+    vec: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN: candidates = vectors whose LSH bucket is within `probe_hamming`
+    bit flips of the query's bucket (multi-probe), re-ranked by exact
+    cosine. Bucket assignment is one narrow pass over the corpus."""
+    sig = lsh_signature(F.col(vec), planes, dim)
+    corpus = df.withColumn("_sig", sig)
+    qrow = corpus.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec).alias("_qv"), F.col("_sig").alias("_qsig")
+    )
+    # multi-probe bucket list: the query signature and 1-bit flips
+    probes = [F.col("_qsig")]
+    if probe_hamming >= 1:
+        probes += [
+            F.col("_qsig").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
+        ]
+    qbuckets = qrow.select(
+        "_qv", F.explode(F.array(*probes)).alias("_sig")
+    )
+    cands = corpus.filter(F.col("vec_id") != query_vec_id).join(
+        F.broadcast(qbuckets), "_sig"
+    )
+    dot = _sumlong(_dot_terms(F.col(vec), F.col("_qv")))
+    na = _sumlong(_dot_terms(F.col(vec), F.col(vec)))
+    nb = _sumlong(_dot_terms(F.col("_qv"), F.col("_qv")))
+    cos = dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+    return (
+        cands.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,130 @@
+"""Text analysis over the documents table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in Column expressions (split/regexp/aggregate/filter
+higher-order functions) — whole-stage codegen, no Python in the path.
+Formulas avoid transcendental functions (exp/log differ across libm
+builds); only +,-,*,/ and sqrt (IEEE-exact) appear, so the DuckDB oracle
+reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+#: marker words per language for the n-gram/stopword language-ID heuristic;
+#: keys sorted asc = deterministic tie-break order
+LANG_MARKERS = {
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "en": ("the", "and", "of", "is", "that"),
+    "es": ("el", "los", "que", "una", "para"),
+    "fr": ("le", "la", "et", "les", "dans"),
+    "zh": ("的", "了", "是"),
+}
+
+BPE_ISH = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def ws_tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), "\\s+")
+
+
+def token_counts(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per document."""
+    toks = ws_tokens(text)
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text), F.lit(BPE_ISH), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )
+
+
+def quality_scores(df: DataFrame, text: str = "text") -> DataFrame:
+    """Length/punctuation/stopword quality features + a linear score.
+
+    score = 0.4*stop_ratio + 0.4*(1/(1+punct_ratio*10)) + 0.2*min(n_ws/100, 1)
+    (a Gopher/C4-style heuristic blend, kept rational for exact parity).
+    """
+    toks = ws_tokens(text)
+    n_ws = F.size(toks).cast("double")
+    n_chars = F.length(text).cast("double")
+    punct = F.length(F.regexp_replace(F.col(text), "[A-Za-z0-9\\s]", "")).cast(
+        "double"
+    )
+    stops = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    ).cast("double")
+    punct_ratio = punct / n_chars
+    stop_ratio = stops / n_ws
+    mean_tok_len = F.length(F.array_join(toks, "")).cast("double") / n_ws
+    score = (
+        stop_ratio * 0.4
+        + (F.lit(1.0) / (F.lit(1.0) + punct_ratio * 10.0)) * 0.4
+        + F.least(n_ws / 100.0, F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        "doc_id",
+        n_ws.alias("n_ws"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        score.alias("quality"),
+    )
+
+
+def lang_scores(df: DataFrame, text: str = "text") -> DataFrame:
+    """Marker-word counts per language + argmax prediction (tie -> first
+    language in ascending key order) — same CASE cascade as the oracle."""
+    toks = ws_tokens(F.lower(F.col(text)))
+
+    def _in(markers):  # closure factory: a default arg would make PySpark
+        return lambda t: t.isin(*markers)  # treat the lambda as (el, idx)
+
+    cols = {
+        lang: F.size(F.filter(toks, _in(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    langs = sorted(LANG_MARKERS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            ge = cols[lang] >= cols[other] if other > lang else cols[lang] > cols[other]
+            cond = ge if cond is None else (cond & ge)
+        pred = (
+            F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+        )
+    # unreachable fallback (the cascade is exhaustive), kept for safety
+    pred = pred.otherwise(F.lit(langs[0]))
+    return df.select(
+        "doc_id",
+        *[cols[lang].alias(f"s_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 over word n-gram
+    shingles (md5 of the full trimmed text when fewer than n words).
+    A content-defined rolling-hash analog that both engines compute
+    identically (md5 hex strings order the same everywhere)."""
+    toks = ws_tokens(text)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
+            )
+        ),
+    )
+    fp = F.when(F.size(toks) >= n, F.array_min(sh)).otherwise(
+        F.md5(F.trim(F.col(text)))
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))

@@ -388,3 +388,8 @@ def chunk_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks_mod.encode_chunks(ev).select(
         "event_type", "block_start_ms", "n", "t_min_ms", "t_max_ms"
     )
+
+
+# training-data-pipeline operator queries (dedup/similarity/text) register
+# themselves into the same QUERIES/ORACLES maps on import
+from . import queries_data  # noqa: E402,F401

@@ -1,0 +1,235 @@
+"""queries() entries for the training-data-pipeline operators (dedup,
+similarity, text analysis) — imported by queries.py so they land in the
+same registry. Cross-engine rules are the same as queries.py; hashes are
+md5-based so DuckDB reproduces them bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import dedup, similarity, text
+from .queries import load, query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in text.STOPWORDS)
+
+
+@query(
+    "token_counts",
+    f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+'))         AS n_ws_tokens,
+       len(regexp_extract_all(text, '{text.BPE_ISH}'))         AS n_bpe_tokens
+FROM documents
+""",
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_scores",
+    f"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\\s+') AS w,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           CAST(len(w) AS DOUBLE) AS n_ws,
+           punct / n_chars        AS punct_ratio,
+           CAST(len(list_filter(w, x -> lower(x) IN ({_STOP_SQL}))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS stop_ratio,
+           CAST(length(array_to_string(w, '')) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+               AS mean_tok_len
+    FROM t
+)
+SELECT doc_id, n_ws, punct_ratio, stop_ratio, mean_tok_len,
+       stop_ratio * 0.4
+       + (CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + punct_ratio * 10.0)) * 0.4
+       + least(n_ws / 100.0, CAST(1.0 AS DOUBLE)) * 0.2 AS quality
+FROM f
+""",
+)
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(load(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    score_cols = ",\n           ".join(
+        "len(list_filter(w, x -> x IN ({m}))) AS s_{lang}".format(
+            m=", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    whens = []
+    for lang in langs:
+        conds = []
+        for other in langs:
+            if other == lang:
+                continue
+            op = ">=" if other > lang else ">"
+            conds.append(f"s_{lang} {op} s_{other}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{langs[0]}' END"
+    sel = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+    FROM documents
+), s AS (
+    SELECT doc_id,
+           {score_cols}
+    FROM t
+)
+SELECT doc_id, {sel}, {case} AS pred_lang FROM s
+"""
+
+
+@query("lang_id", _lang_sql())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_scores(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_fingerprints",
+    """
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT doc_id, min(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS fingerprint
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+    WHERE len(w) >= 3
+    GROUP BY doc_id
+)
+SELECT doc_id, fingerprint FROM sh
+UNION ALL
+SELECT doc_id, md5(trim(text)) AS fingerprint FROM toks WHERE len(w) < 3
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+SELECT md5(text) AS text_md5, count(*) AS n_docs, min(doc_id) AS keeper
+FROM documents GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dups(load(spark, sf_dir, "documents"))
+
+
+_JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, trim(text) AS shingle FROM toks WHERE len(w) < 3
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.n_sh AS na, sb.n_sh AS nb,
+       CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= {t}
+"""
+
+
+@query("ngram_jaccard_pairs", _JACCARD_SQL.format(t=0.05))
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs at t=0.05 (the synthetic
+    word-soup corpus has no true dups; the low threshold exercises the
+    full join+verify machinery with a non-empty result)."""
+    return dedup.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.05)
+
+
+@query("minhash_lsh_dups")  # probabilistic banding -> rows-only check
+def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidates verified to exact jaccard>=0.05.
+    Precision 1.0 by construction; recall is the LSH curve — hence no SQL
+    oracle (the driver records a rows-only check)."""
+    return dedup.minhash_lsh_candidates(
+        load(spark, sf_dir, "documents"), k=32, bands=8, threshold=0.05
+    )
+
+
+@query(
+    "simhash60",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+)
+SELECT doc_id,
+       ({' + '.join(f"CASE WHEN sum(CAST((h >> {b}) & 1 AS BIGINT) * 2 - 1) > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END" for b in range(60))})
+       AS simhash
+FROM hashed GROUP BY doc_id
+""",
+)
+def simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_SQL = """
+WITH q AS (
+    SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+    SELECT e.vec_id,
+           CAST(list_aggregate(list_transform(list_zip(e.embedding, q.qv),
+                p -> CAST(floor(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)*1000000000000.0 + 0.5) AS BIGINT)), 'sum') AS DOUBLE)
+           / ( sqrt(CAST(list_aggregate(list_transform(list_zip(e.embedding, e.embedding),
+                p -> CAST(floor(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)*1000000000000.0 + 0.5) AS BIGINT)), 'sum') AS DOUBLE))
+             * sqrt(CAST(list_aggregate(list_transform(list_zip(q.qv, q.qv),
+                p -> CAST(floor(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)*1000000000000.0 + 0.5) AS BIGINT)), 'sum') AS DOUBLE)) )
+           AS cosine
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+)
+SELECT vec_id, cosine FROM scored
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+@query("cosine_topk", _COSINE_SQL)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0)
+
+
+@query("ann_lsh_topk")  # probabilistic bucketing -> rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH buckets + multi-probe + exact re-rank."""
+    return similarity.ann_lsh_topk(
+        load(spark, sf_dir, "embeddings"), query_vec_id=0
+    )
