@@ -393,3 +393,4 @@ def chunk_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # training-data-pipeline operator queries (dedup/similarity/text) register
 # themselves into the same QUERIES/ORACLES maps on import
 from . import queries_data  # noqa: E402,F401
+from . import queries_rel  # noqa: E402,F401

@@ -1,0 +1,295 @@
+"""Relational operator-parity queries (SURVEY.md §2.5/2.7 joins, set ops,
+sources) registered into the shared QUERIES/ORACLES maps.
+
+Each maps a reference operator row to idiomatic Spark: broadcast dimension
+joins (J1–J3), mapping-lookup left join with coalesce fallback (J4),
+array zip + positional explode (J5), sorted distinct listing (W6),
+dedup/row_number (W7), union (W8), glob discovery (S7), CSV intermediate
+source/sink (S6), plus the golden validation aggregate (A2/A7).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .queries import load, query
+from .timeutil import micro, sql_micro
+
+
+@query(
+    "revenue_by_region",
+    f"""
+SELECT r.r_name AS region,
+       CAST(sum({sql_micro('o.o_totalprice')}) AS BIGINT) AS revenue_micro,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+""",
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-style chained dimension lookups: the reference resolves
+    instance->type via in-memory maps (internal/converter/converter.go:79-84);
+    here the small dims are explicit broadcasts, fact side never shuffles
+    for the join (only the final 5-group aggregate)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.sum(micro("o_totalprice")).alias("revenue_micro"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+_MAPPING_ROWS = [
+    ("click", "ui_click_total", True),
+    ("purchase", "commerce_purchase_total", True),
+    ("error", None, False),  # drop rule
+]
+
+
+@query(
+    "metric_mapping_join",
+    f"""
+WITH mapping(key, mapped_name, keep) AS (
+    VALUES {", ".join(f"('{k}', {('NULL' if v is None else chr(39) + v + chr(39))}, {str(keep).lower()})" for k, v, keep in _MAPPING_ROWS)}
+)
+SELECT coalesce(m.mapped_name,
+                'gemfire_events_' || lower(replace(replace(e.event_type, ' ', '_'), '-', '_')))
+           AS metric,
+       count(*) AS cnt,
+       CAST(sum({sql_micro('e.value')}) AS BIGINT) AS sum_micro
+FROM events e
+LEFT JOIN mapping m ON e.event_type = m.key
+WHERE m.keep IS NULL OR m.keep
+GROUP BY 1
+""",
+)
+def metric_mapping_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/P7/F7: broadcast mapping lookup, rename-with-default, drop rule —
+    the config.example.yaml semantics on the events stream."""
+    ev = load(spark, sf_dir, "events")
+    m = spark.createDataFrame(
+        _MAPPING_ROWS, "key string, mapped_name string, keep boolean"
+    )
+    default = F.concat(
+        F.lit("gemfire_events_"),
+        F.regexp_replace(F.lower("event_type"), "[ -]", "_"),
+    )
+    return (
+        ev.join(F.broadcast(m), ev.event_type == m.key, "left")
+        .filter(F.col("keep").isNull() | F.col("keep"))
+        .groupBy(F.coalesce("mapped_name", default).alias("metric"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(micro("value")).alias("sum_micro"),
+        )
+    )
+
+
+@query(
+    "array_zip_explode",
+    """
+SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+       embedding[i]                AS a,
+       embedding[len(embedding) + 1 - i] AS b
+FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+WHERE vec_id < 20
+""",
+)
+def array_zip_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: the timestamp<->value positional zip
+    (java-extractor/AllStatsExtractor.java:47-94) as arrays_zip+posexplode."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    z = F.arrays_zip(F.col("embedding"), F.reverse(F.col("embedding")))
+    return e.select(
+        "vec_id", F.posexplode(z).alias("pos", "pair")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("pair.embedding").alias("a"),
+        F.col("pair.1").alias("b"),
+    )
+
+
+@query(
+    "sorted_metric_listing",
+    "SELECT DISTINCT event_type FROM events ORDER BY event_type",
+)
+def sorted_metric_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: unique metric names sorted
+    (java-extractor/AllStatsExtractor.java:113-117)."""
+    return load(spark, sf_dir, "events").select("event_type").distinct().orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "first_event_per_user",
+    """
+SELECT user_id, event_type AS first_type, epoch_ms(ts) AS first_ts_ms
+FROM (
+    SELECT user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+)
+def first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 dedup-to-first: the once-only processed-set analog as
+    row_number()=1 (ts unique per user in the fixture)."""
+    from .timeutil import epoch_ms
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("first_type"),
+            epoch_ms("ts").alias("first_ts_ms"),
+        )
+    )
+
+
+@query(
+    "union_sources",
+    f"""
+SELECT kind, count(*) AS cnt, CAST(sum(v_micro) AS BIGINT) AS sum_micro FROM (
+    SELECT 'big' AS kind, {sql_micro('value')} AS v_micro FROM events WHERE value >= 100
+    UNION ALL
+    SELECT 'purchase' AS kind, {sql_micro('value')} AS v_micro FROM events WHERE event_type = 'purchase'
+) GROUP BY 1
+""",
+)
+def union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: multiple source streams merged into one work list
+    (cmd/cluster.go:47-52)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("value") >= 100).select(
+        F.lit("big").alias("kind"), micro("value").alias("v_micro")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.lit("purchase").alias("kind"), micro("value").alias("v_micro")
+    )
+    return a.unionByName(b).groupBy("kind").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v_micro").alias("sum_micro")
+    )
+
+
+@query(
+    "glob_discovery",
+    "SELECT count(*) AS n_rows, 1 AS n_files FROM events",
+)
+def glob_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: glob-based file discovery + per-file identity via
+    input_file_name() (the node-extraction hook, processor.go:131-198)."""
+    df = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("_file", F.input_file_name())
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("_file").cast("int").alias("n_files"),
+    )
+
+
+@query(
+    "csv_roundtrip",
+    f"""
+SELECT event_type, CAST(sum({sql_micro('value')}) AS BIGINT) AS sum_micro,
+       count(*) AS cnt
+FROM events WHERE value >= 250 GROUP BY 1
+""",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: the CSV intermediate sink/source
+    (java-extractor/AllStatsExtractor.java:88-93 -> extract_all_stats.sh).
+    Values travel as scaled int64 (exact); doubles never round-trip text."""
+    ev = load(spark, sf_dir, "events").filter(F.col("value") >= 250)
+    tmp = os.path.join(
+        tempfile.gettempdir(), f"csv_roundtrip_{os.path.basename(sf_dir)}"
+    )
+    (
+        ev.select("event_type", micro("value").alias("v_micro"))
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(tmp)
+    )
+    back = spark.read.option("header", True).schema(
+        "event_type string, v_micro long"
+    ).csv(tmp)
+    return back.groupBy("event_type").agg(
+        F.sum("v_micro").alias("sum_micro"), F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "validation_stats",
+    """
+SELECT event_type,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+           / count(*) / 1000000.0 AS avg_value,
+       max(value) AS max_value,
+       min(value) AS min_value,
+       count(*)   AS cnt
+FROM events GROUP BY 1
+""",
+)
+def validation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A7: the golden-series validation aggregate (avg/max/count triple,
+    README-WORKING-SOLUTION.md:63-67) — avg derived from the exact scaled
+    sum so both engines divide identical integers."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        (
+            F.sum(micro("value")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("avg_value"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "cube_event_counts",
+    """
+SELECT coalesce(event_type, '__all__') AS event_type,
+       coalesce(CAST(user_id AS VARCHAR), '__all__') AS user_group,
+       count(*) AS cnt
+FROM events
+WHERE user_id < 5
+GROUP BY GROUPING SETS ((event_type, user_id), (event_type), (user_id), ())
+""",
+)
+def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube(): grouping-sets coverage (cheap extension beyond reference
+    parity, SURVEY §2.6 note)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    return (
+        ev.cube("event_type", "user_id")
+        .count()
+        .select(
+            F.coalesce("event_type", F.lit("__all__")).alias("event_type"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("__all__")).alias(
+                "user_group"
+            ),
+            F.col("count").alias("cnt"),
+        )
+    )
