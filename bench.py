@@ -29,6 +29,12 @@ HEADLINE = [
     "gapfill_linear_1h",
     "p95_value_by_type",
     "tpch_q1",
+    "chunk_roundtrip_salted",
+    "revenue_by_region",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "token_counts",
+    "cosine_topk",
 ]
 
 
