@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 from . import codecs
 from .timeutil import epoch_ms
 
-CODEC_NAME = "dod+gorilla-v1"
+CODEC_NAME = "dod+gorilla-v2"  # section-split: vectorized decode (codecs.py)
 
 CHUNK_FIELDS = (
     "block_start_ms bigint, n bigint, t_min_ms bigint, t_max_ms bigint, "
@@ -53,7 +53,14 @@ def encode_chunks(
     block_s: int = 7200,
     salt: int = 1,
 ) -> DataFrame:
-    """samples -> chunk rows. One shuffle on (series, block[, salt])."""
+    """samples -> chunk rows. One shuffle on (series, block[, salt]).
+
+    Implementation: repartition+sortWithinPartitions, then mapInPandas
+    with manual group detection — one Arrow exchange per 64k-row batch
+    instead of per group (applyInPandas pays per-group overhead, which
+    dominates when chunks are small). Groups never span partitions
+    (hash repartition on the full key); groups MAY span Arrow batches,
+    handled with a carry buffer."""
     step_ms = block_s * 1000
     base = df.select(
         *series,
@@ -69,24 +76,55 @@ def encode_chunks(
 
     out_schema = f"{_series_schema(df, series)}, {CHUNK_FIELDS}"
     series_l = list(series)
+    sorted_base = base.repartition(*keys).sortWithinPartitions(*keys, "_ts_ms")
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_ts_ms", kind="mergesort")
-        t = pdf["_ts_ms"].to_numpy(np.int64)
-        v = pdf["_val"].to_numpy(np.float64)
-        row = {c: [pdf[c].iloc[0]] for c in series_l}
-        row.update(
-            block_start_ms=[int(pdf["_block"].iloc[0])],
-            n=[len(t)],
-            t_min_ms=[int(t[0])],
-            t_max_ms=[int(t[-1])],
-            ts_chunk=[codecs.dod_encode(t)],
-            val_chunk=[codecs.xor_encode(v)],
-            codec=[CODEC_NAME],
+    def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        t_all = pdf["_ts_ms"].to_numpy(np.int64)
+        v_all = pdf["_val"].to_numpy(np.float64)
+        gid = (
+            pdf[keys].ne(pdf[keys].shift()).any(axis=1).to_numpy().cumsum()
         )
-        return pd.DataFrame(row)
+        starts = np.flatnonzero(np.diff(gid, prepend=gid[0] - 1))
+        ends = np.append(starts[1:], len(pdf))
+        rows = {c: [] for c in series_l}
+        blocks, ns, tmins, tmaxs, tcs, vcs = [], [], [], [], [], []
+        for s, e in zip(starts, ends):
+            t, v = t_all[s:e], v_all[s:e]
+            for c in series_l:
+                rows[c].append(pdf[c].iloc[s])
+            blocks.append(int(pdf["_block"].iloc[s]))
+            ns.append(e - s)
+            tmins.append(int(t[0]))
+            tmaxs.append(int(t[-1]))
+            tcs.append(codecs.dod_encode(t))
+            vcs.append(codecs.xor_encode(v))
+        rows.update(
+            block_start_ms=blocks, n=ns, t_min_ms=tmins, t_max_ms=tmaxs,
+            ts_chunk=tcs, val_chunk=vcs, codec=[CODEC_NAME] * len(ns),
+        )
+        return pd.DataFrame(rows)
 
-    return base.groupBy(*keys).applyInPandas(build, schema=out_schema)
+    def build(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold back the trailing (possibly incomplete) group
+            last_key = pdf[keys].iloc[-1]
+            tail_mask = (pdf[keys] == last_key).all(axis=1).to_numpy()
+            # rows of the final contiguous run with the last key
+            cut = len(pdf) - int(
+                np.argmin(tail_mask[::-1]) if not tail_mask.all() else len(pdf)
+            )
+            head, carry = pdf.iloc[:cut], pdf.iloc[cut:].copy()
+            if len(head):
+                yield _encode_groups(head)
+        if carry is not None and len(carry):
+            yield _encode_groups(carry)
+
+    return sorted_base.mapInPandas(build, schema=out_schema)
 
 
 def decode_chunks(

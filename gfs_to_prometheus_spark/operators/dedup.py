@@ -27,8 +27,13 @@ from .text import ws_tokens
 
 def shingles(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct word n-grams; docs shorter than n words
-    contribute their whole trimmed text as the single shingle."""
-    toks = ws_tokens(text)
+    contribute their whole trimmed text as the single shingle.
+
+    The token array is materialized as a column BEFORE the lambda uses it:
+    referencing ws_tokens(text) inside transform() re-evaluates the split
+    per array element (O(len^2) — measured 4x slowdown on sf0.1)."""
+    base = df.select("doc_id", F.trim(F.col(text)).alias("_t"), ws_tokens(text).alias("_w"))
+    toks = F.col("_w")
     sh = F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -39,8 +44,8 @@ def shingles(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
                 ),
             )
         ),
-    ).otherwise(F.array(F.trim(F.col(text))))
-    return df.select("doc_id", F.explode(sh).alias("shingle"))
+    ).otherwise(F.array(F.col("_t")))
+    return base.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 def exact_dups(df: DataFrame, text: str = "text") -> DataFrame:
@@ -169,15 +174,12 @@ def simhash(df: DataFrame, text: str = "text", bits: int = 60) -> DataFrame:
     Token hash = little-endian int64 of md5 bytes 8..15 == DuckDB's
     md5_number_lower, so the oracle reproduces it exactly.
     """
-    toks = ws_tokens(text)
-    h = F.md5(F.element_at(toks, F.col("_i").cast("int")))
+    ex = df.select(
+        "doc_id", F.explode(ws_tokens(text)).alias("_tok")
+    )  # explode the materialized array (splitting once per row)
+    h = F.md5(F.col("_tok"))
     rev = F.concat(*[F.substring(h, 31 - 2 * j, 2) for j in range(8)])
     tok_h = F.conv(rev, 16, -10).cast("long")
-    ex = df.select("doc_id", F.size(toks).alias("_n"), F.col(text)).select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_i"),
-        F.col(text),
-    )
     hashed = ex.select("doc_id", tok_h.alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(
         *[

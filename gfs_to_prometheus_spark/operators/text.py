@@ -115,7 +115,10 @@ def fingerprints(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
     shingles (md5 of the full trimmed text when fewer than n words).
     A content-defined rolling-hash analog that both engines compute
     identically (md5 hex strings order the same everywhere)."""
-    toks = ws_tokens(text)
+    base = df.select(
+        "doc_id", F.trim(F.col(text)).alias("_t"), ws_tokens(text).alias("_w")
+    )  # materialize the split once; a lambda reference re-splits per element
+    toks = F.col("_w")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.md5(
@@ -124,7 +127,5 @@ def fingerprints(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
             )
         ),
     )
-    fp = F.when(F.size(toks) >= n, F.array_min(sh)).otherwise(
-        F.md5(F.trim(F.col(text)))
-    )
-    return df.select("doc_id", fp.alias("fingerprint"))
+    fp = F.when(F.size(toks) >= n, F.array_min(sh)).otherwise(F.md5(F.col("_t")))
+    return base.select("doc_id", fp.alias("fingerprint"))
