@@ -52,10 +52,24 @@ def run(
     days_limit: int | None = None,
     salt: int = 4,
 ) -> dict[str, int]:
+    """Synthesize + process (see run_from_samples)."""
+    return run_from_samples(
+        spark, out, build_samples(spark, n_docs), job_id, days_limit, salt
+    )
+
+
+def run_from_samples(
+    spark: SparkSession,
+    out: str,
+    samples: DataFrame,
+    job_id: str = "job",
+    days_limit: int | None = None,
+    salt: int = 4,
+) -> dict[str, int]:
     """Process every not-yet-committed day partition; returns rows written
     per table. Calling again after a crash (or with a higher days_limit)
-    completes the remainder; output is identical to one uninterrupted run."""
-    samples = build_samples(spark, n_docs)
+    completes the remainder; output is identical to one uninterrupted run.
+    ``samples`` needs columns series_key, ts, value, part."""
 
     all_days = sorted(
         r["part"] for r in samples.select("part").distinct().collect()
