@@ -293,3 +293,65 @@ def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("count").alias("cnt"),
         )
     )
+
+
+@query(
+    "json_props_decode",
+    """
+SELECT event_type,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       count(*) AS cnt
+FROM events GROUP BY 1
+""",
+)
+def json_props_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 analog: the reference shells out to Java and reads JSON back
+    (internal/gfs/java_extractor.go:45-76); here the JSON side-channel is
+    decoded in-plan with get_json_object — no process boundary."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+_TYPE_CODE_SQL = """
+SELECT code,
+       CASE WHEN code IN (1, 2, 3, 4) THEN 'int'
+            WHEN code = 5 THEN 'long'
+            WHEN code = 6 THEN 'float'
+            WHEN code IN (7, 8, 12) THEN 'double'
+            ELSE 'unknown' END AS dtype,
+       count(*) AS cnt,
+       CAST(sum(CAST(floor(coalesce(CASE WHEN value <= 1000000000.0 THEN value END, 0.0)
+                * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
+FROM (SELECT event_id % 13 AS code, value FROM events)
+GROUP BY 1, 2
+"""
+
+
+@query("type_code_normalization", _TYPE_CODE_SQL)
+def type_code_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6/D7: Geode type-code -> dtype mapping
+    (internal/gfs/statarchive.go:823-844) and numeric widening with
+    unknown->0 fallback (internal/converter/converter.go:178-188),
+    exercised over a synthesized code column."""
+    from .timeutil import micro
+
+    ev = load(spark, sf_dir, "events").select(
+        (F.col("event_id") % 13).alias("code"), "value"
+    )
+    dtype = (
+        F.when(F.col("code").isin(1, 2, 3, 4), "int")
+        .when(F.col("code") == 5, "long")
+        .when(F.col("code") == 6, "float")
+        .when(F.col("code").isin(7, 8, 12), "double")
+        .otherwise("unknown")
+    )
+    widened = F.coalesce(
+        F.when(F.col("value") <= 1e9, F.col("value")), F.lit(0.0)
+    )
+    return ev.groupBy("code", dtype.alias("dtype")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(micro(widened)).alias("sum_micro"),
+    )
