@@ -355,3 +355,26 @@ def type_code_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"),
         F.sum(micro(widened)).alias("sum_micro"),
     )
+
+
+@query(
+    "gfs_archive_roundtrip",
+    """
+SELECT event_type AS series_key, epoch_ms(ts) AS ts_ms,
+       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_long
+FROM events
+""",
+)
+def gfs_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/D1/D2/D4 input-format parity: pack per-series sample streams into
+    the reference's wire encodings (timestamp deltas + Geode compact ints,
+    internal/gfs/statarchive.go:296-316,1034-1088), decode back; the oracle
+    is the identity projection."""
+    from .sources import gfs_binary
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series_key"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        micro("value").alias("value_long"),
+    )
+    return gfs_binary.decode_archive(gfs_binary.encode_archive(ev))
