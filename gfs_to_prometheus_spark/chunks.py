@@ -86,21 +86,21 @@ def encode_chunks(
         )
         starts = np.flatnonzero(np.diff(gid, prepend=gid[0] - 1))
         ends = np.append(starts[1:], len(pdf))
-        rows = {c: [] for c in series_l}
-        blocks, ns, tmins, tmaxs, tcs, vcs = [], [], [], [], [], []
-        for s, e in zip(starts, ends):
-            t, v = t_all[s:e], v_all[s:e]
-            for c in series_l:
-                rows[c].append(pdf[c].iloc[s])
-            blocks.append(int(pdf["_block"].iloc[s]))
-            ns.append(e - s)
-            tmins.append(int(t[0]))
-            tmaxs.append(int(t[-1]))
-            tcs.append(codecs.dod_encode(t))
-            vcs.append(codecs.xor_encode(v))
+        # all per-group metadata extracted vectorized; only the codec calls
+        # loop (numpy per chunk)
+        rows = {c: pdf[c].to_numpy()[starts] for c in series_l}
         rows.update(
-            block_start_ms=blocks, n=ns, t_min_ms=tmins, t_max_ms=tmaxs,
-            ts_chunk=tcs, val_chunk=vcs, codec=[CODEC_NAME] * len(ns),
+            block_start_ms=pdf["_block"].to_numpy(np.int64)[starts],
+            n=ends - starts,
+            t_min_ms=t_all[starts],
+            t_max_ms=t_all[ends - 1],
+            ts_chunk=[
+                codecs.dod_encode(t_all[s:e]) for s, e in zip(starts, ends)
+            ],
+            val_chunk=[
+                codecs.xor_encode(v_all[s:e]) for s, e in zip(starts, ends)
+            ],
+            codec=CODEC_NAME,
         )
         return pd.DataFrame(rows)
 
