@@ -378,3 +378,125 @@ def gfs_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         micro("value").alias("value_long"),
     )
     return gfs_binary.decode_archive(gfs_binary.encode_archive(ev))
+
+
+@query(
+    "sessionize_users",
+    """
+WITH marks AS (
+    SELECT user_id, ts, value,
+           CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                     OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT user_id, ts, value,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marks
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(epoch_ms(ts)) AS session_start_ms,
+       max(epoch_ms(ts)) AS session_end_ms,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
+FROM sess GROUP BY 1, 2
+""",
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min inactivity gap) via lag + cumulative-sum
+    session ids — the batch shape of Structured Streaming's
+    session_window, fully JVM-side."""
+    from .timeutil import epoch_ms
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    is_new = F.when(
+        (epoch_ms("ts") - F.lag(epoch_ms("ts")).over(w) > 1_800_000)
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(epoch_ms("ts")).alias("session_start_ms"),
+        F.max(epoch_ms("ts")).alias("session_end_ms"),
+        F.sum(micro("value")).alias("sum_micro"),
+    )
+
+
+@query(
+    "sliding_rate_15m",
+    f"""
+WITH b AS (
+    SELECT event_type, (epoch_ms(ts) // 300000) * 300000 AS bucket_ms,
+           CAST(sum({sql_micro('value')}) AS BIGINT) AS inc
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_ms,
+       CAST(sum(inc) OVER (PARTITION BY event_type ORDER BY bucket_ms
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS inc_15m,
+       CAST(sum(inc) OVER (PARTITION BY event_type ORDER BY bucket_ms
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / 900.0 AS rate_15m
+FROM b
+""",
+)
+def sliding_rate_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window rate at every 5m point (the PromQL rate(m[15m])
+    evaluation shape): tumbling partials + a 3-row sliding frame — partial
+    aggregation bounds the window input, never raw samples.
+    NOTE: frame is row-based over OBSERVED buckets (matches the oracle);
+    a gap-free variant composes with gapfill.grid()."""
+    ev = load(spark, sf_dir, "events")
+    from .timeutil import bucket_ms
+
+    b = ev.groupBy(
+        "event_type", bucket_ms("ts", 300).alias("bucket_ms")
+    ).agg(F.sum(micro("value")).alias("inc"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("bucket_ms")
+        .rowsBetween(-2, 0)
+    )
+    inc15 = F.sum("inc").over(w)
+    return b.select(
+        "event_type",
+        "bucket_ms",
+        inc15.alias("inc_15m"),
+        (inc15.cast("double") / 900.0).alias("rate_15m"),
+    )
+
+
+@query(
+    "pivot_type_by_day",
+    f"""
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN {sql_micro('value')} ELSE 0 END) AS BIGINT) AS click_micro,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN {sql_micro('value')} ELSE 0 END) AS BIGINT) AS purchase_micro,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN {sql_micro('value')} ELSE 0 END) AS BIGINT) AS error_micro
+FROM events GROUP BY 1
+""",
+)
+def pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide metrics table), one hash agg — the dashboard
+    panel shape."""
+    from .timeutil import bucket_ms
+
+    ev = load(spark, sf_dir, "events")
+    p = (
+        ev.groupBy(bucket_ms("ts", 86400).alias("day_ms"))
+        .pivot("event_type", ["click", "purchase", "error"])
+        .agg(F.coalesce(F.sum(micro("value")), F.lit(0)))
+    )
+    return p.select(
+        "day_ms",
+        F.col("click").alias("click_micro"),
+        F.col("purchase").alias("purchase_micro"),
+        F.col("error").alias("error_micro"),
+    )
