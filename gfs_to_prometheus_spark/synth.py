@@ -75,8 +75,10 @@ def samples_from_sequences(seq: DataFrame, n_series: int = 100) -> DataFrame:
       uniformly — the hot-series skew fixture.
     * ts: BASE_MS + per-doc offset + 1000ms cadence with +-100ms jitter and
       occasional 5–120s gaps (P~0.05) to exercise gap-fill.
-    * value: gauges bounded walk from the token id; counters monotone
-      (cumulative token sums) with resets via modulo.
+    * value: derived from the token id (gauges scaled, counters raw), so
+      any sample-level check transitively asserts token-array equality.
+      Monotone counter-reset semantics are exercised separately via the
+      cumulative-counter queries (queries.counter_rate_5m).
     """
     h_doc = _h("doc_id")
     hot = F.pmod(h_doc, F.lit(100)) < 50  # 50% of docs -> 1 hot series
