@@ -52,6 +52,7 @@ def encode_chunks(
     value: str = "value",
     block_s: int = 7200,
     salt: int = 1,
+    max_chunk_samples: int = 4096,
 ) -> DataFrame:
     """samples -> chunk rows. One shuffle on (series, block[, salt]).
 
@@ -60,7 +61,13 @@ def encode_chunks(
     instead of per group (applyInPandas pays per-group overhead, which
     dominates when chunks are small). Groups never span partitions
     (hash repartition on the full key); groups MAY span Arrow batches,
-    handled with a carry buffer."""
+    handled with a carry buffer.
+
+    ``max_chunk_samples`` cuts oversized groups into multiple chunk rows
+    (Prometheus likewise cuts head chunks at ~120 samples): it bounds
+    both chunk decode memory AND the carry buffer — a hot series' block
+    with millions of samples streams through in O(batch) memory instead
+    of accumulating (and re-concatenating) the whole group."""
     step_ms = block_s * 1000
     base = df.select(
         *series,
@@ -86,6 +93,15 @@ def encode_chunks(
         )
         starts = np.flatnonzero(np.diff(gid, prepend=gid[0] - 1))
         ends = np.append(starts[1:], len(pdf))
+        if int((ends - starts).max()) > max_chunk_samples:
+            # subdivide oversized groups into <=max_chunk_samples chunks
+            s2, e2 = [], []
+            for s, e in zip(starts, ends):
+                for c in range(s, e, max_chunk_samples):
+                    s2.append(c)
+                    e2.append(min(c + max_chunk_samples, e))
+            starts = np.array(s2, dtype=np.int64)
+            ends = np.array(e2, dtype=np.int64)
         # all per-group metadata extracted vectorized; only the codec calls
         # loop (numpy per chunk)
         rows = {c: pdf[c].to_numpy()[starts] for c in series_l}
@@ -118,6 +134,13 @@ def encode_chunks(
             cut = len(pdf) - int(
                 np.argmin(tail_mask[::-1]) if not tail_mask.all() else len(pdf)
             )
+            # a giant trailing group is flushed as full chunks immediately
+            # (max_chunk_samples allows mid-group cuts), keeping the carry
+            # — and its per-batch re-concat — bounded
+            tail_len = len(pdf) - cut
+            if tail_len > max_chunk_samples:
+                full = cut + (tail_len // max_chunk_samples) * max_chunk_samples
+                cut = full
             head, carry = pdf.iloc[:cut], pdf.iloc[cut:].copy()
             if len(head):
                 yield _encode_groups(head)
