@@ -233,3 +233,53 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(
         load(spark, sf_dir, "embeddings"), query_vec_id=0
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling (training-data selection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hash_sample_docs",
+    """
+SELECT doc_id, n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+""",
+)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/16 hash sample — reproducible data selection
+    (never rand(): resumable jobs and both engines must agree)."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    return d.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    ).select("doc_id", "n_chars")
+
+
+@query(
+    "stratified_sample_docs",
+    """
+SELECT source, doc_id FROM (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))
+           ) AS rn
+    FROM documents
+) WHERE rn <= 5
+""",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-per-group sample ordered by a deterministic hash —
+    balanced training subsets across sources."""
+    from pyspark.sql import Window as W, functions as F
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id")
+    )
