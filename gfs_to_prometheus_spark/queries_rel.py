@@ -392,8 +392,8 @@ WITH marks AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), sess AS (
     SELECT user_id, ts, value,
-           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+           CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
     FROM marks
 )
 SELECT user_id, session_id,
