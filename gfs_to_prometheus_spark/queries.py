@@ -36,6 +36,10 @@ def query(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # the driver may hand us a session with a non-UTC timezone; epoch-ms
+    # extraction from TIMESTAMP_NTZ interprets in session TZ, and the
+    # DuckDB oracle is naive-UTC — pin it (runtime-settable, idempotent)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
