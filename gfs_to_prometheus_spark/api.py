@@ -1,0 +1,132 @@
+"""Query API over the materialized tier tables — the surface a user of
+the reference (PromQL against the TSDB it writes,
+/root/reference/README.md:146-158) migrates to:
+
+    eng = Engine(spark, "/data/tsdb")
+    eng.range_query("sum", step="1h", by=["series_key"], start=..., end=...)
+    eng.rate(step="5m")                      # reset-corrected, from raw chunks
+    eng.topk(5, step="1h")
+    eng.instant(at_ms, fill="locf")          # point-in-time with staleness
+
+Tier selection mirrors Prometheus recording rules + Thanos downsampling:
+the engine picks the coarsest tier whose step divides the requested step
+(5m -> 1h -> 1d), so a 1d query over a year reads 288x fewer rows than
+the 5m tier, and partition pruning on `part` limits the scan to the
+requested time range.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import chunks as chunks_mod, gapfill
+from .rollup import TIERS, rollup_merge
+
+# lazy: building Columns at import time requires an active SparkSession
+_AGG_COLS = {
+    "min": lambda: F.min("vmin"),
+    "max": lambda: F.max("vmax"),
+    "sum": lambda: F.sum("sum_micro"),
+    "count": lambda: F.sum("cnt"),
+    "last": lambda: F.max_by("last", "last_ts_ms"),
+}
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, root: str, series: Sequence[str] = ("series_key",)):
+        self.spark = spark
+        self.root = root
+        self.series = list(series)
+
+    # -- tier routing --------------------------------------------------
+
+    def _best_tier(self, step_s: int) -> tuple[str, int]:
+        """Coarsest materialized tier whose step divides the request."""
+        best = ("rollup_5m", 300)
+        for name, s in (("rollup_5m", 300), ("rollup_1h", 3600), ("rollup_1d", 86400)):
+            if step_s % s == 0:
+                best = (f"{name}", s)
+        return best
+
+    def tier(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, name))
+
+    # -- queries -------------------------------------------------------
+
+    def range_query(
+        self,
+        agg: str,
+        step: str | int,
+        by: Sequence[str] | None = None,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
+    ) -> DataFrame:
+        """Aggregate per (by, step-bucket) from the best tier; time-range
+        predicates prune day partitions before the scan."""
+        step_s = TIERS[step] if isinstance(step, str) else int(step)
+        tname, tstep = self._best_tier(step_s)
+        df = self.tier(tname)
+        if start_ms is not None:
+            df = df.filter(F.col("bucket_ms") >= start_ms)
+        if end_ms is not None:
+            df = df.filter(F.col("bucket_ms") < end_ms)
+        by = list(by) if by is not None else self.series
+        if step_s != tstep:
+            df = rollup_merge(df, step_s, series=self.series)
+        if agg not in _AGG_COLS:
+            raise ValueError(f"agg must be one of {sorted(_AGG_COLS)}")
+        return df.groupBy(*by, "bucket_ms").agg(_AGG_COLS[agg]().alias(agg))
+
+    def topk(
+        self, k: int, step: str | int, measure: str = "sum_micro",
+        start_ms: int | None = None, end_ms: int | None = None,
+    ) -> DataFrame:
+        from .rollup import topk as _topk
+
+        step_s = TIERS[step] if isinstance(step, str) else int(step)
+        tname, _ = self._best_tier(step_s)
+        df = self.tier(tname)
+        if start_ms is not None:
+            df = df.filter(F.col("bucket_ms") >= start_ms)
+        if end_ms is not None:
+            df = df.filter(F.col("bucket_ms") < end_ms)
+        return _topk(df, k, by=self.series, rank_within=[], measure=measure)
+
+    def rate(self, step: str | int = "5m") -> DataFrame:
+        """Reset-corrected per-second rate from the raw chunk table (rate
+        needs adjacent-sample deltas, which rollups do not retain)."""
+        from .rate import rate as _rate
+
+        step_s = TIERS[step] if isinstance(step, str) else int(step)
+        raw = chunks_mod.decode_chunks(self.tier("chunks"), series=self.series)
+        samples = raw.select(
+            *self.series,
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            F.col("value").alias("counter"),
+        )
+        return _rate(samples, step_s, series=self.series)
+
+    def instant(self, at_ms: int, fill: str = "locf", lookback_s: int = 3600) -> DataFrame:
+        """Point-in-time value per series: last observation within the
+        lookback window (Prometheus instant-vector staleness semantics)."""
+        t5 = self.tier("rollup_5m").filter(
+            (F.col("bucket_ms") <= at_ms)
+            & (F.col("bucket_ms") > at_ms - lookback_s * 1000)
+        )
+        return t5.groupBy(*self.series).agg(
+            F.max_by("last", "last_ts_ms").alias("value"),
+            F.max("last_ts_ms").alias("as_of_ms"),
+        )
+
+    def gapfilled(self, step_s: int = 300, method: str = "locf") -> DataFrame:
+        raw = chunks_mod.decode_chunks(self.tier("chunks"), series=self.series)
+        samples = raw.select(
+            *self.series,
+            F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+            "value",
+        )
+        fn = gapfill.locf if method == "locf" else gapfill.linear
+        return fn(samples, step_s, series=self.series)

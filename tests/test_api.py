@@ -1,0 +1,60 @@
+"""Engine query API over a materialized pipeline output: tier routing,
+range/topk/rate/instant answers cross-checked against direct computation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfs_to_prometheus_spark.api import Engine
+from jobs import pipeline
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tsdb"))
+    pipeline.run(spark, out, N_DOCS, job_id="api")
+    return Engine(spark, out)
+
+
+def test_tier_routing(engine):
+    assert engine._best_tier(300) == ("rollup_5m", 300)
+    assert engine._best_tier(3600) == ("rollup_1h", 3600)
+    assert engine._best_tier(7200) == ("rollup_1h", 3600)
+    assert engine._best_tier(86400) == ("rollup_1d", 86400)
+    assert engine._best_tier(450) == ("rollup_5m", 300)
+
+
+def test_range_query_matches_direct(engine, spark):
+    got = {
+        (r["series_key"], r["bucket_ms"]): r["sum"]
+        for r in engine.range_query("sum", step="1d").collect()
+    }
+    direct = {
+        (r["series_key"], r["bucket_ms"]): r["sum_micro"]
+        for r in engine.tier("rollup_1d").collect()
+    }
+    assert got == direct
+    # 2h step routes through the 1h tier and re-buckets losslessly
+    h2 = engine.range_query("count", step=7200)
+    total = sum(r["count"] for r in h2.collect())
+    assert total == engine.tier("rollup_5m").agg(F.sum("cnt")).collect()[0][0]
+
+
+def test_rate_and_instant_shapes(engine):
+    r = engine.rate("5m")
+    row = r.filter(F.col("rate") > 0).first()
+    assert row is not None and row["increase"] >= 0
+    at = engine.tier("rollup_5m").agg(F.max("last_ts_ms")).collect()[0][0]
+    inst = engine.instant(at_ms=at + 1)
+    assert inst.count() > 0
+    assert all(x["as_of_ms"] <= at + 1 for x in inst.collect())
+
+
+def test_topk(engine):
+    top = engine.topk(3, step="1h").collect()
+    assert len(top) == 3
+    # the hot series must win
+    assert top[0]["series_key"] == "series_0"
