@@ -500,3 +500,37 @@ def pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase").alias("purchase_micro"),
         F.col("error").alias("error_micro"),
     )
+
+
+@query(
+    "intersect_users",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: users who both click and purchase."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@query(
+    "except_users",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+""",
+)
+def except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: clickers who never errored. subtract() is SQL's set EXCEPT
+    (exceptAll would be bag difference — leftover multiplicities of users
+    who click more often than they error would leak through)."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    return a.subtract(b)
