@@ -519,18 +519,23 @@ def intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "except_users",
+    "except_user_days",
     """
-SELECT user_id FROM events WHERE event_type = 'click'
+SELECT user_id, (epoch_ms(ts) // 86400000) * 86400000 AS day_ms
+FROM events WHERE event_type = 'click'
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
+SELECT user_id, (epoch_ms(ts) // 86400000) * 86400000
+FROM events WHERE event_type = 'purchase'
 """,
 )
-def except_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set op: clickers who never errored. subtract() is SQL's set EXCEPT
-    (exceptAll would be bag difference — leftover multiplicities of users
-    who click more often than they error would leak through)."""
+def except_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: (user, day) pairs with clicks but no purchase. subtract()
+    is SQL's set EXCEPT (exceptAll would be bag difference — leftover
+    multiplicities would leak through)."""
+    from .timeutil import bucket_ms
+
     ev = load(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(F.col("event_type") == "error").select("user_id")
+    day = bucket_ms("ts", 86400).alias("day_ms")
+    a = ev.filter(F.col("event_type") == "click").select("user_id", day)
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
     return a.subtract(b)
