@@ -42,7 +42,7 @@ samples.write.mode("overwrite").parquet({path!r})
 def run(cpus: int, path: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(HERE, "worker.py"),
-         "--cpus", str(cpus), "--input", path],
+         "--cpus", str(cpus), "--input", path, "--runs", "5"],
         capture_output=True, text=True, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])

@@ -22,7 +22,7 @@ for t in "region nation customer supplier part orders lineitem events documents 
 def vhash(pdf):
     cols = sorted(pdf.columns)
     pdf = pdf[cols].sort_values(cols, ignore_index=True)
-    return hashlib.md5(pdf.to_csv(index=False, float_format="%.10g").encode()).hexdigest()
+    return hashlib.md5(pdf.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
 
 qs, os_ = E.queries(), E.oracle_sql()
 ok = bad = 0
