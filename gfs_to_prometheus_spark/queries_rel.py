@@ -539,3 +539,80 @@ def except_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "click").select("user_id", day)
     b = ev.filter(F.col("event_type") == "purchase").select("user_id", day)
     return a.subtract(b)
+
+
+@query(
+    "asof_join_purchases",
+    """
+SELECT a.user_id, epoch_ms(a.ts) AS click_ts_ms, b.value AS asof_value
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+ON a.user_id = b.user_id AND a.ts >= b.ts
+""",
+)
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the time-series join Spark lacks as a primitive): each
+    click gets the user's most recent purchase value at-or-before it.
+    Implemented as union + tagged LOCF window (operators/joins.py) — one
+    shuffle on the key; the oracle uses DuckDB's native ASOF JOIN."""
+    from .operators.joins import asof_join
+    from .timeutil import epoch_ms
+
+    ev = load(spark, sf_dir, "events")
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "user_id", epoch_ms("ts").alias("ts_ms")
+    )
+    build = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", epoch_ms("ts").alias("ts_ms"), "value"
+    )
+    out = asof_join(probe, build, on=["user_id"], ts="ts_ms", value_cols=["value"])
+    return out.select(
+        "user_id",
+        F.col("ts_ms").alias("click_ts_ms"),
+        F.col("asof_value").alias("asof_value"),
+    )
+
+
+@query(
+    "range_join_clicks_after_purchase",
+    """
+SELECT i.user_id, epoch_ms(i.ts) AS purchase_ts_ms, count(p.ts) AS clicks_within_1h
+FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') i
+LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') p
+  ON i.user_id = p.user_id
+ AND epoch_ms(p.ts) >= epoch_ms(i.ts)
+ AND epoch_ms(p.ts) <  epoch_ms(i.ts) + 3600000
+GROUP BY 1, 2
+""",
+)
+def range_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized range join: clicks within 1h after each purchase. The
+    interval side explodes to overlapping hour buckets and equi-joins on
+    (key, bucket) + exact refine (operators/joins.py) — a hash join where
+    a naive theta join would be broadcast-nested-loop. Left-outer
+    semantics recovered by re-joining counts onto all intervals."""
+    from .operators.joins import range_join_buckets
+    from .timeutil import epoch_ms
+
+    ev = load(spark, sf_dir, "events")
+    iv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        epoch_ms("ts").alias("start_ms"),
+        (epoch_ms("ts") + 3_600_000).alias("end_ms"),
+    )
+    pts = ev.filter(F.col("event_type") == "click").select(
+        "user_id", epoch_ms("ts").alias("ts_ms")
+    )
+    matched = range_join_buckets(pts, iv, on=["user_id"]).groupBy(
+        "user_id", "start_ms"
+    ).agg(F.count(F.lit(1)).alias("clicks_within_1h"))
+    out = (
+        iv.join(matched, ["user_id", "start_ms"], "left")
+        .select(
+            "user_id",
+            F.col("start_ms").alias("purchase_ts_ms"),
+            F.coalesce("clicks_within_1h", F.lit(0)).alias("clicks_within_1h"),
+        )
+    )
+    return out

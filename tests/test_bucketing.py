@@ -1,0 +1,38 @@
+"""Bucketed co-located join: pre-bucketing both sides on the join key
+removes the shuffle entirely — the technique for repeated big-big joins
+at 100 TB (SURVEY §1.4 'bucketing for co-located joins')."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    return spark
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    a = ev.select("user_id", "value")
+    b = ev.select("user_id", "event_type")
+    spark.sql("DROP TABLE IF EXISTS b_a")
+    spark.sql("DROP TABLE IF EXISTS b_b")
+    a.write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable("b_a")
+    b.write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable("b_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_a").join(spark.table("b_b"), "user_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # both sides read pre-bucketed -> no shuffle before the join
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert j.count() > 0
+        # sanity: the same join WITHOUT bucketing does shuffle
+        j2 = a.join(b, "user_id")
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan2
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_a")
+        spark.sql("DROP TABLE IF EXISTS b_b")
