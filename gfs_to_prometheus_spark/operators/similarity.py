@@ -124,3 +124,97 @@ def ann_lsh_topk(
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def ivf_index(
+    df: DataFrame, n_lists: int = 16, vec: str = "embedding"
+) -> DataFrame:
+    """IVF (inverted-file) assignment: centroids are a deterministic
+    md5-hash sample of the corpus itself (no RNG, no k-means iterations —
+    at 100 TB a single assignment pass over sampled anchors captures most
+    of the clustering benefit, and determinism keeps builds resumable).
+    Returns the corpus + `_list` (nearest-centroid id)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.md5(F.col("vec_id").cast("string")))
+    cents = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_lists)
+        .select(
+            F.col("_rk").alias("_cid"), F.col(vec).alias("_cvec")
+        )
+    )
+    # distance to each centroid; argmin via min(struct(dist, cid))
+    joined = df.crossJoin(F.broadcast(cents))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec), F.col("_cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    best = joined.groupBy("vec_id").agg(
+        F.min(F.struct(d2.alias("d2"), F.col("_cid"))).alias("_best")
+    ).select("vec_id", F.col("_best._cid").alias("_list"))
+    return df.join(best, "vec_id")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only the n_probe lists nearest to the query
+    vector, exact cosine inside them. Cost ~ (n_probe/n_lists) of brute
+    force; recall controlled by n_probe."""
+    indexed = ivf_index(df, n_lists, vec)
+    q = indexed.filter(F.col("vec_id") == query_vec_id).select(
+        F.col(vec).alias("_qv")
+    )
+    # rank lists by centroid distance to the query: reuse assignment of
+    # the query row's own crossJoin — simpler: compute per-list distance
+    # of the query against every centroid via another broadcast pass
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.md5(F.col("vec_id").cast("string")))
+    cents = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_lists)
+        .select(F.col("_rk").alias("_cid"), F.col(vec).alias("_cvec"))
+    )
+    qd = q.crossJoin(F.broadcast(cents))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_qv"), F.col("_cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    probe_lists = [
+        r["_cid"]
+        for r in qd.select(F.col("_cid"), d2.alias("_d2"))
+        .orderBy("_d2", "_cid")
+        .limit(n_probe)
+        .collect()
+    ]
+    cands = indexed.filter(
+        F.col("_list").isin(probe_lists) & (F.col("vec_id") != query_vec_id)
+    ).crossJoin(F.broadcast(q))
+    dot = _sumlong(_dot_terms(F.col(vec), F.col("_qv")))
+    na = _sumlong(_dot_terms(F.col(vec), F.col(vec)))
+    nb = _sumlong(_dot_terms(F.col("_qv"), F.col("_qv")))
+    cos = dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+    return (
+        cands.select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )

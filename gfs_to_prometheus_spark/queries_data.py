@@ -283,3 +283,11 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "doc_id")
     )
+
+
+@query("ivf_ann_topk")  # probabilistic (probed lists) -> rows-only check
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic hash-sampled centroids, probe the 4 nearest
+    of 16 lists, exact cosine re-rank inside them (the scale path: cost
+    ~n_probe/n_lists of brute force)."""
+    return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0)

@@ -68,3 +68,14 @@ def test_ann_lsh_subset_quality(spark, emb):
     assert len(approx) == 10
     overlap = len(set(approx) & set(exact))
     assert overlap >= 5  # bucketed candidates still surface mostly-true tops
+
+
+def test_ivf_recall(spark, emb):
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, 0, k=10).collect()]
+    approx = [r["vec_id"] for r in similarity.ivf_topk(emb, 0, k=10).collect()]
+    assert len(approx) == 10
+    # probing 4/16 lists must still recover a majority of the true top-10
+    assert len(set(approx) & set(exact)) >= 5
+    # determinism
+    again = [r["vec_id"] for r in similarity.ivf_topk(emb, 0, k=10).collect()]
+    assert approx == again
