@@ -160,16 +160,18 @@ def decode_chunks(
 
     def expand(batches):
         for pdf in batches:
-            frames = []
-            for _, r in pdf.iterrows():
-                n = int(r["n"])
-                t = codecs.dod_decode(bytes(r["ts_chunk"]), n)
-                v = codecs.xor_decode(bytes(r["val_chunk"]), n)
-                d = {c: np.repeat(r[c], n) for c in series_l}
-                d["ts_ms"] = t
-                d["value"] = v
-                frames.append(pd.DataFrame(d))
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            ns = pdf["n"].to_numpy(np.int64)
+            tcs = pdf["ts_chunk"].tolist()
+            vcs = pdf["val_chunk"].tolist()
+            t = np.concatenate(
+                [codecs.dod_decode(bytes(b), int(n)) for b, n in zip(tcs, ns)]
+            ) if len(ns) else np.empty(0, np.int64)
+            v = np.concatenate(
+                [codecs.xor_decode(bytes(b), int(n)) for b, n in zip(vcs, ns)]
+            ) if len(ns) else np.empty(0, np.float64)
+            d = {c: np.repeat(pdf[c].to_numpy(), ns) for c in series_l}
+            d["ts_ms"] = t
+            d["value"] = v
+            yield pd.DataFrame(d)
 
     return chunks.mapInPandas(expand, schema=out_schema)
