@@ -57,17 +57,31 @@ def exact_dups(df: DataFrame, text: str = "text") -> DataFrame:
 
 
 def jaccard_pairs(
-    df: DataFrame, threshold: float, text: str = "text", n: int = 3
+    df: DataFrame,
+    threshold: float,
+    text: str = "text",
+    n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= t).
 
     Plan: shingle table S; |S_d| per doc; self-equi-join on shingle ->
     per-pair intersection count; jaccard = common/(na+nb-common).
     At 100 TB the equi-join shuffles on the shingle key — frequent
-    shingles are the skew risk; cap them with a document-frequency
-    filter (stop-shingles carry no dedup signal anyway).
+    shingles are the skew (and fan-out) risk. `max_df` drops shingles
+    appearing in more than `max_df` documents BEFORE the self-join
+    (stop-shingles carry no dedup signal and each contributes
+    O(df^2) join rows); both per-doc sizes and intersections are then
+    computed over the surviving rare-shingle vocabulary, so the
+    resulting jaccard is self-consistent over that vocabulary.
     """
     sh = shingles(df, text, n)
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = (
+            sh.join(dfreq.filter(F.col("_df") <= max_df), "shingle")
+            .select("doc_id", "shingle")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -159,11 +173,44 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
-    exact = jaccard_pairs(df, threshold=0.0, text=text, n=n).select(
+    sh = shingles(df, text, n)
+    verified = candidate_jaccard(cands, sh)
+    return verified.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )
-    return cands.join(exact, ["doc_a", "doc_b"], "inner").filter(
-        F.col("jaccard") >= threshold
+
+
+def candidate_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for a GIVEN candidate-pair set only — the scale-safe
+    verification step (cost = Σ over candidates of |shingles(a)|, never the
+    all-pairs shingle self-join).
+
+    Plan: candidates join shingles(doc_a) on doc_a, then shingles(doc_b) on
+    (doc_b, shingle) to count intersections per pair; per-doc set sizes come
+    from one tiny agg. Every join is a key equi-join on doc ids / (doc id,
+    shingle) — shuffles scale with the candidate set, not the corpus square.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cands.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        common.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("common")).cast("double"),
+        )
+        .select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
     )
 
 

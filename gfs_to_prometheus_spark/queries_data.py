@@ -168,6 +168,46 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.05)
 
 
+_JACCARD_CAPPED_SQL = """
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+), sh0 AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, trim(text) AS shingle FROM toks WHERE len(w) < 3
+), dfreq AS (
+    SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= {cap}
+), sh AS (
+    SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN dfreq USING (shingle)
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.n_sh AS na, sb.n_sh AS nb,
+       CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE) >= {t}
+"""
+
+
+@query("ngram_jaccard_capped", _JACCARD_CAPPED_SQL.format(t=0.05, cap=4))
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped variant: shingles with document frequency > 4 are dropped
+    before the self-join (the skew/fan-out guard for 100 TB — each hot
+    shingle costs O(df^2) join rows and carries no dedup signal)."""
+    return dedup.jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.05, max_df=4
+    )
+
+
 @query("minhash_lsh_dups")  # probabilistic banding -> rows-only check
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified to exact jaccard>=0.05.

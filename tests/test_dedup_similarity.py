@@ -79,3 +79,60 @@ def test_ivf_recall(spark, emb):
     # determinism
     again = [r["vec_id"] for r in similarity.ivf_topk(emb, 0, k=10).collect()]
     assert approx == again
+
+
+def test_lsh_verify_is_candidate_local(spark, docs):
+    """The verification step must never run the all-pairs shingle self-join:
+    every equi-join on `shingle` must be keyed on (doc id, shingle), i.e. no
+    physical join whose ONLY equi-key is the shingle column."""
+    import re
+
+    plan = (
+        dedup.minhash_lsh_candidates(docs, k=32, bands=8, threshold=0.05)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not re.search(r"Join \[shingle#\d+\]", plan), plan
+
+
+def test_jaccard_max_df_drops_hot_shingle(spark):
+    """One stop-shingle shared by every doc: with max_df it contributes no
+    pairs; docs sharing real content still pair up on their rare shingles."""
+    hot = "lorem ipsum dolor"  # one 3-gram present in all docs
+    rows = [
+        (0, hot + " aa bb cc dd ee"),
+        (1, hot + " aa bb cc dd ff"),  # shares rare shingles with 0
+        (2, hot + " zz yy xx ww vv"),  # shares only the hot shingle
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.jaccard_pairs(df, threshold=0.01, max_df=2).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
+    # uncapped: the hot shingle alone links doc 2 to the others
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.jaccard_pairs(df, threshold=0.01).collect()
+    }
+    assert (0, 2) in uncapped and (1, 2) in uncapped
+
+
+def test_candidate_jaccard_matches_all_pairs(spark, docs):
+    """candidate_jaccard over the full cross set must agree with
+    jaccard_pairs (same common/na/nb/jaccard per pair)."""
+    from pyspark.sql import functions as F
+
+    exact = {
+        (r["doc_a"], r["doc_b"]): (r["common"], r["na"], r["nb"])
+        for r in dedup.jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    sh = dedup.shingles(docs)
+    cands = spark.createDataFrame(
+        [(a, b) for (a, b) in exact], "doc_a long, doc_b long"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["common"], r["na"], r["nb"])
+        for r in dedup.candidate_jaccard(cands, sh).collect()
+    }
+    assert got == exact
