@@ -6,11 +6,14 @@ algorithms:
   Pelkonen et al., "Gorilla: A Fast, Scalable, In-Memory Time Series
   Database", VLDB 2015 (the compression Prometheus TSDB chunks use —
   invoked by the reference at /root/reference/internal/tsdb/writer.go:34,60).
-* Geode compact int encoding: the reference DECODES this form on its
-  input path (/root/reference/internal/gfs/statarchive.go:1034-1088);
-  both directions implemented from the public semantics: a token byte in
-  [-128,-122] announces a 2..8-byte big-endian two's-complement payload,
-  any other byte IS the value (one byte covers [-121,127]).
+* Geode compact int encoding: implemented from the PUBLIC Apache Geode
+  compact-value semantics — a token byte in [-128,-122] announces a
+  2..8-byte big-endian two's-complement payload, any other byte IS the
+  value (one byte covers [-121,127]). The reference's own decoder at
+  /root/reference/internal/gfs/statarchive.go:1034-1088 is degenerate
+  (its first `>= -128 && <= 127` branch matches every int8, so the token
+  branches are unreachable, and the dead code uses little-endian
+  payloads); we follow the real Geode wire form, not those dead lines.
 
 Chunk format v2 ("section-split"): classic Gorilla interleaves control
 bits and payloads, which forces a sequential decoder. We store the same
@@ -274,35 +277,197 @@ _MIN_1BYTE = -121
 _MAX_1BYTE = 127
 
 
-def compact_encode(vals: np.ndarray) -> bytes:
+def _multi_widths(vm: np.ndarray) -> np.ndarray:
+    """Payload width 2..8 for values outside the 1-byte range."""
+    w = np.full(len(vm), 8, dtype=np.int64)
+    for k in range(7, 1, -1):
+        lo, hi = -(1 << (8 * k - 1)), (1 << (8 * k - 1)) - 1
+        w[(vm >= lo) & (vm <= hi)] = k
+    return w
+
+
+def compact_sizes(vals: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (1, or 1 token + payload width)."""
     v = np.asarray(vals, dtype=np.int64)
-    nbytes = np.full(len(v), 8, dtype=np.int64)
-    for w in range(7, 1, -1):
-        lo, hi = -(1 << (8 * w - 1)), (1 << (8 * w - 1)) - 1
-        nbytes[(v >= lo) & (v <= hi)] = w
     one = (v >= _MIN_1BYTE) & (v <= _MAX_1BYTE)
-    out = bytearray()
-    for i in range(len(v)):  # parity/test path only; hot path is dod/xor
-        if one[i]:
-            out.append(int(v[i]) & 0xFF)
-        else:
-            w = int(nbytes[i])
-            out.append((_TOKEN_BASE + w) & 0xFF)
-            out += int(v[i]).to_bytes(w, "big", signed=True)
-    return bytes(out)
+    tot = np.ones(len(v), dtype=np.int64)
+    m = ~one
+    if m.any():
+        tot[m] = _multi_widths(v[m]) + 1
+    return tot
+
+
+def compact_encode(vals: np.ndarray) -> bytes:
+    """Vectorized: classify widths (on the multi-byte subset only), cumsum
+    byte offsets, then scatter per width class (<= 7 classes x <= 8 byte
+    lanes = bounded small vector ops; no per-byte index arrays — those
+    dominate on bandwidth-bound hosts)."""
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    if n == 0:
+        return b""
+    one = (v >= _MIN_1BYTE) & (v <= _MAX_1BYTE)
+    if one.all():
+        return (v & 0xFF).astype(np.uint8).tobytes()
+    m = ~one
+    vm = v[m]
+    w = _multi_widths(vm)
+    tot = np.ones(n, dtype=np.int64)
+    tot[m] = w + 1
+    ends = np.cumsum(tot)
+    starts = ends - tot
+    out = np.empty(int(ends[-1]), dtype=np.uint8)
+    out[starts[one]] = (v[one] & 0xFF).astype(np.uint8)
+    um = np.ascontiguousarray(vm).view(_U64)
+    mstarts = starts[m]
+    for k in range(2, 9):
+        cls = w == k
+        if not cls.any():
+            continue
+        s = mstarts[cls]
+        u = um[cls]
+        out[s] = (_TOKEN_BASE + k) & 0xFF
+        for j in range(k):
+            out[s + 1 + j] = ((u >> _U64((k - 1 - j) * 8)) & _U64(0xFF)).astype(
+                np.uint8
+            )
+    return out.tobytes()
 
 
 def compact_decode(buf: bytes) -> np.ndarray:
-    out = []
-    i = 0
+    """Vectorized decode of a stream with data-dependent token positions.
+
+    Token positions form a pointer chain (each token's width tells where
+    the next starts) — inherently sequential. The sequential part is
+    shrunk to the chain of MULTI-BYTE tokens only: a maximal run of
+    1-byte tokens is all-tokens by construction, so from a multi token at
+    p the next multi token is simply the first multi-LOOKING byte at or
+    after p+1+width (everything between is a 1-byte run). That chain is a
+    map over the (small) candidate array — enumerated by pointer doubling
+    in O(log m) whole-array rounds, no per-token Python. Everything else
+    (token mask, payload combine) is bounded width-class vector ops."""
     b = np.frombuffer(buf, dtype=np.int8)
-    while i < len(b):
-        t = int(b[i])
-        i += 1
-        if t >= _MIN_1BYTE:
-            out.append(t)
-        else:
-            w = t - _TOKEN_BASE
-            out.append(int.from_bytes(buf[i : i + w], "big", signed=True))
-            i += w
-    return np.array(out, dtype=np.int64)
+    n = len(b)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    u8 = b.view(np.uint8)
+    is_one = b >= _MIN_1BYTE  # 1-byte token IF this byte is a token
+    cand = np.flatnonzero(~is_one)  # positions that LOOK like multi tokens
+    c = len(cand)
+    tok_mask = np.ones(n, dtype=bool)
+    if c:
+        wc = b[cand].astype(np.int64) - _TOKEN_BASE  # payload width 2..8
+        # candidate-index chain: from real multi token i, the next multi
+        # token is the first candidate at or after its landing point
+        g = np.searchsorted(cand, cand + 1 + wc).astype(np.int64)
+        g = np.append(g, c)  # sentinel fixpoint
+        # orbit of candidate 0 (the first candidate IS the first multi
+        # token: every byte before it is a 1-byte token) by doubling
+        pos = np.array([0], dtype=np.int64)
+        gk = g
+        while pos[-1] < c:
+            pos = np.concatenate([pos, gk[pos]])
+            gk = gk[gk]
+        pos = pos[pos < c]
+        mt = cand[pos]  # real multi-token positions, ascending
+        wm = wc[pos]
+        # drop a trailing token whose payload is cut off (malformed tail)
+        ok = mt + wm < n
+        if not ok.all():
+            tok_mask[mt[~ok][0]:] = False
+            mt, wm = mt[ok], wm[ok]
+        # payload bytes are not tokens: clear per width class (<=7x7 lanes)
+        for k in range(2, 9):
+            p = mt[wm == k]
+            if len(p):
+                for j in range(1, k + 1):
+                    tok_mask[p + j] = False
+    pos_all = np.flatnonzero(tok_mask)
+    one = is_one[pos_all]
+    vals = np.empty(len(pos_all), dtype=np.int64)
+    vals[one] = b[pos_all[one]]
+    if c:
+        for k in range(2, 9):
+            p = mt[wm == k]
+            if not len(p):
+                continue
+            u = np.zeros(len(p), dtype=_U64)
+            for j in range(k):
+                u = (u << _U64(8)) | u8[p + 1 + j].astype(_U64)
+            ui = u.view(np.int64)  # two's complement exact for k=8
+            if k < 8:
+                half = np.int64(1) << (8 * k - 1)
+                span = np.int64(1) << (8 * k)
+                ui = np.where(ui >= half, ui - span, ui)
+            vals[np.searchsorted(pos_all, p)] = ui
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# Java modified UTF-8 (DataOutputStream.writeUTF payload form)
+# ---------------------------------------------------------------------------
+# The reference reads series/type names with readUTF
+# (/root/reference/internal/gfs/statarchive.go:269-294): uint16 big-endian
+# byte length, then modified UTF-8 — standard UTF-8 for U+0001..U+FFFF
+# except U+0000 -> C0 80, and supplementary chars as a UTF-16 surrogate
+# pair with EACH surrogate encoded as a 3-byte sequence (CESU-8). Both
+# directions below are batched: one numpy pass over the concatenated
+# UTF-16 code units / bytes of ALL names in an Arrow batch.
+
+
+def mutf8_encode_batch(names: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """-> (concatenated mutf8 bytes uint8 array, per-name byte lengths)."""
+    if not names:
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    enc = [s.encode("utf-16-be", "surrogatepass") for s in names]
+    ulens = np.fromiter((len(e) >> 1 for e in enc), dtype=np.int64, count=len(enc))
+    units = np.frombuffer(b"".join(enc), dtype=">u2").astype(np.uint32)
+    nb = np.where(
+        (units >= 1) & (units < 0x80), 1, np.where(units < 0x800, 2, 3)
+    ).astype(np.int64)  # NUL (0) takes the 2-byte C0 80 form
+    cs = np.concatenate([[0], np.cumsum(nb)])
+    out = np.empty(int(cs[-1]), dtype=np.uint8)
+    starts = cs[:-1]
+    m1 = nb == 1
+    out[starts[m1]] = units[m1]
+    m2 = nb == 2
+    out[starts[m2]] = 0xC0 | (units[m2] >> 6)
+    out[starts[m2] + 1] = 0x80 | (units[m2] & 0x3F)
+    m3 = nb == 3
+    out[starts[m3]] = 0xE0 | (units[m3] >> 12)
+    out[starts[m3] + 1] = 0x80 | ((units[m3] >> 6) & 0x3F)
+    out[starts[m3] + 2] = 0x80 | (units[m3] & 0x3F)
+    uoff = np.concatenate([[0], np.cumsum(ulens)])
+    lens = cs[uoff[1:]] - cs[uoff[:-1]]
+    return out, lens.astype(np.int64)
+
+
+def mutf8_decode_batch(buf: np.ndarray, lens: np.ndarray) -> list[str]:
+    """Inverse of mutf8_encode_batch over a concatenated uint8 buffer."""
+    b = np.ascontiguousarray(buf, dtype=np.uint8)
+    if len(b) == 0:
+        return ["" for _ in range(len(lens))]
+    lead = (b & 0xC0) != 0x80
+    pos = np.flatnonzero(lead)
+    b1 = b[pos].astype(np.uint32)
+    nxt = np.minimum(pos + 1, len(b) - 1)
+    nxt2 = np.minimum(pos + 2, len(b) - 1)
+    b2 = b[nxt].astype(np.uint32) & 0x3F
+    b3 = b[nxt2].astype(np.uint32) & 0x3F
+    units = np.where(
+        b1 < 0x80,
+        b1,
+        np.where(
+            (b1 >> 5) == 0b110,
+            ((b1 & 0x1F) << 6) | b2,
+            ((b1 & 0x0F) << 12) | (b2 << 6) | b3,
+        ),
+    ).astype(">u2")
+    # map lead positions to names via byte offsets
+    boff = np.concatenate([[0], np.cumsum(np.asarray(lens, dtype=np.int64))])
+    cuts = np.searchsorted(pos, boff)
+    raw = units.tobytes()
+    return [
+        raw[2 * cuts[i] : 2 * cuts[i + 1]].decode("utf-16-be", "surrogatepass")
+        for i in range(len(lens))
+    ]

@@ -381,6 +381,30 @@ def gfs_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mutf8_series_roundtrip",
+    """
+SELECT 'café—序列🚀·' || event_type AS series_key, epoch_ms(ts) AS ts_ms,
+       CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_long
+FROM events
+""",
+)
+def mutf8_series_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 modified-UTF8 (Java writeUTF) parity: series names with accents,
+    CJK, and a supplementary (surrogate-pair) character ride INSIDE the
+    binary record as [u16 BE len][modified UTF-8] — the form the reference
+    reads at internal/gfs/statarchive.go:269-294 — and must roundtrip
+    bit-exactly through the wire bytes. Oracle: identity projection."""
+    from .sources import gfs_binary
+
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(F.lit("café—序列🚀·"), F.col("event_type")).alias("series_key"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        micro("value").alias("value_long"),
+    )
+    return gfs_binary.decode_archive(gfs_binary.encode_archive(ev))
+
+
+@query(
     "sessionize_users",
     """
 WITH marks AS (

@@ -97,3 +97,80 @@ def test_compact_sizes(val, nbytes):
     (/root/reference/internal/gfs/statarchive.go:1034-1088: 1-byte direct,
     token + N-byte big-endian otherwise)."""
     assert len(codecs.compact_encode(np.array([val]))) == nbytes
+
+
+# ---------------------------------------------------------------------------
+# modified UTF-8 (Java writeUTF payload form) — D5
+# ---------------------------------------------------------------------------
+
+from gfs_to_prometheus_spark.codecs import (
+    compact_encode,
+    compact_sizes,
+    mutf8_decode_batch,
+    mutf8_encode_batch,
+)
+
+
+def _mutf8_roundtrip(names):
+    buf, lens = mutf8_encode_batch(names)
+    assert int(lens.sum()) == len(buf)
+    return mutf8_decode_batch(buf, lens)
+
+
+def test_mutf8_roundtrip_mixed():
+    names = ["", "a", "café", "序列-01", "🚀🎉", "nul\x00inside", "\x00",
+             "Ω ﬂ \U0001F600 end", "x" * 70000]
+    assert _mutf8_roundtrip(names) == names
+
+
+def test_mutf8_spec_bytes():
+    # NUL -> C0 80 (never a raw 0x00 byte — the Java modified form)
+    buf, lens = mutf8_encode_batch(["\x00"])
+    assert bytes(buf) == b"\xc0\x80"
+    # supplementary char -> CESU-8: surrogate pair, 3 bytes each
+    buf, lens = mutf8_encode_batch(["\U0001F680"])
+    assert len(buf) == 6
+    s = "\U0001F680".encode("utf-16-be")
+    hi = int.from_bytes(s[:2], "big")
+    lo = int.from_bytes(s[2:], "big")
+    exp = bytes(
+        [0xE0 | (hi >> 12), 0x80 | ((hi >> 6) & 0x3F), 0x80 | (hi & 0x3F),
+         0xE0 | (lo >> 12), 0x80 | ((lo >> 6) & 0x3F), 0x80 | (lo & 0x3F)]
+    )
+    assert bytes(buf) == exp
+    # BMP strings match standard UTF-8 (spec: identical outside NUL/astral)
+    buf, lens = mutf8_encode_batch(["café 序列 Ω"])
+    assert bytes(buf) == "café 序列 Ω".encode("utf-8")
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0, max_codepoint=0x10FFFF,
+                                   exclude_categories=("Cs",)),
+            max_size=40,
+        ),
+        max_size=8,
+    )
+)
+def test_mutf8_roundtrip_hypothesis(names):
+    assert _mutf8_roundtrip(names) == names
+
+
+def test_compact_encode_kernel_speed():
+    """The wire encode kernel must be vectorized: >= 10M values/s on a
+    realistic mostly-small stream (the old per-value Python loop managed
+    ~1.5M/s; the vectorized kernel measures 15-25M/s on this host)."""
+    import time
+
+    rng = np.random.default_rng(3)
+    v = np.concatenate(
+        [rng.integers(-120, 127, 900_000), rng.integers(-(2**30), 2**30, 100_000)]
+    ).astype(np.int64)
+    v = rng.permutation(v)
+    compact_encode(v)  # warm
+    best = min(
+        (lambda t0: (compact_encode(v), time.time() - t0)[1])(time.time())
+        for _ in range(3)
+    )
+    assert len(v) / best >= 10_000_000, f"{len(v)/best:.0f} vals/s"

@@ -1,0 +1,75 @@
+"""GFS wire-format source: record contract + modified-UTF8 name path.
+
+The reference emits one record per series (readUTF name, then delta/compact
+payload — internal/gfs/statarchive.go:269-316); encode_archive must honor
+that even when a series' rows span Arrow batch boundaries."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gfs_to_prometheus_spark.sources import gfs_binary
+
+
+def test_one_record_per_series_across_arrow_batches(spark):
+    """A 5000-row single series with a 100-row Arrow batch cap must still
+    produce exactly ONE record (the carry buffer merges batch-spanning
+    groups)."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "100")
+    try:
+        df = spark.range(5000).select(
+            F.lit("solo-series").alias("series_key"),
+            (F.col("id") * 1000).alias("ts_ms"),
+            (F.col("id") % 97).alias("value_long"),
+        ).coalesce(1)
+        arch = gfs_binary.encode_archive(df).collect()
+        assert len(arch) == 1
+        assert arch[0]["n"] == 5000
+        back = gfs_binary.decode_archive(
+            gfs_binary.encode_archive(df)
+        ).orderBy("ts_ms").collect()
+        assert len(back) == 5000
+        assert back[0]["series_key"] == "solo-series"
+        assert [r["ts_ms"] for r in back[:3]] == [0, 1000, 2000]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_archive_roundtrip_hostile_names(spark):
+    """Names with embedded NUL, astral chars, and CESU-8 pairs roundtrip
+    through the wire bytes (D5)."""
+    names = ["plain", "café—序列", "nul\x00mid", "astral \U0001F680\U0001F600", "\x00"]
+    rows = [(nm, i * 500, i * 7 - 3) for nm in names for i in range(50)]
+    df = spark.createDataFrame(rows, "series_key string, ts_ms long, value_long long")
+    back = gfs_binary.decode_archive(gfs_binary.encode_archive(df))
+    got = {
+        (r["series_key"], r["ts_ms"], r["value_long"]) for r in back.collect()
+    }
+    assert got == set(rows)
+
+
+def test_encode_batch_kernel_vectorized():
+    """Kernel-level: batch encode of 200k samples across 400 series must
+    beat 2M samples/s (the per-row path managed ~0.2M/s)."""
+    import time
+
+    rng = np.random.default_rng(5)
+    n_series, per = 400, 500
+    names = [f"s{i:04d}" for i in range(n_series)]
+    t = np.cumsum(rng.integers(1, 1000, n_series * per)).astype(np.int64)
+    v = rng.integers(-(2**35), 2**35, n_series * per).astype(np.int64)
+    starts = np.arange(n_series, dtype=np.int64) * per
+    ends = starts + per
+    gfs_binary._encode_batch(names, t, v, starts, ends)  # warm
+    t0 = time.time()
+    recs = gfs_binary._encode_batch(names, t, v, starts, ends)
+    dt = time.time() - t0
+    assert len(recs) == n_series
+    nms, counts, ts, vals = gfs_binary._decode_batch(recs)
+    assert nms == names
+    assert np.array_equal(ts, t) and np.array_equal(vals, v)
+    assert (n_series * per) / dt >= 2_000_000, f"{n_series*per/dt:.0f}/s"
