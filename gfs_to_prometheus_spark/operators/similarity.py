@@ -126,24 +126,39 @@ def ann_lsh_topk(
     )
 
 
-def ivf_index(
+def ivf_centroids(
     df: DataFrame, n_lists: int = 16, vec: str = "embedding"
 ) -> DataFrame:
-    """IVF (inverted-file) assignment: centroids are a deterministic
-    md5-hash sample of the corpus itself (no RNG, no k-means iterations —
-    at 100 TB a single assignment pass over sampled anchors captures most
-    of the clustering benefit, and determinism keeps builds resumable).
-    Returns the corpus + `_list` (nearest-centroid id)."""
-    from pyspark.sql import Window as W
+    """Deterministic hash-sampled centroids: the n_lists corpus rows with
+    the smallest md5(vec_id) (no RNG, no k-means iterations — at 100 TB a
+    single assignment pass over sampled anchors captures most of the
+    clustering benefit, and determinism keeps builds resumable).
 
-    w = W.orderBy(F.md5(F.col("vec_id").cast("string")))
-    cents = (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_lists)
-        .select(
-            F.col("_rk").alias("_cid"), F.col(vec).alias("_cvec")
-        )
+    orderBy().limit(n) executes as TakeOrderedAndProject — a per-partition
+    partial top-k merged on the driver — NEVER a global sort or a
+    single-partition window, so this scales with the corpus. The tiny
+    result (n_lists rows) is collected and re-emitted as a local DataFrame
+    so the index build and the probe ranking share ONE centroid set."""
+    rows = (
+        df.select(F.col("vec_id"), F.col(vec))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(n_lists)
+        .collect()
     )
+    data = [(i + 1, [float(x) for x in r[vec]]) for i, r in enumerate(rows)]
+    return df.sparkSession.createDataFrame(data, "_cid int, _cvec array<float>")
+
+
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    vec: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) assignment against hash-sampled centroids (see
+    ivf_centroids). Returns the corpus + `_list` (nearest-centroid id)."""
+    if cents is None:
+        cents = ivf_centroids(df, n_lists, vec)
     # distance to each centroid; argmin via min(struct(dist, cid))
     joined = df.crossJoin(F.broadcast(cents))
     d2 = F.aggregate(
@@ -172,21 +187,12 @@ def ivf_topk(
     """IVF search: score only the n_probe lists nearest to the query
     vector, exact cosine inside them. Cost ~ (n_probe/n_lists) of brute
     force; recall controlled by n_probe."""
-    indexed = ivf_index(df, n_lists, vec)
+    cents = ivf_centroids(df, n_lists, vec)
+    indexed = ivf_index(df, n_lists, vec, cents=cents)
     q = indexed.filter(F.col("vec_id") == query_vec_id).select(
         F.col(vec).alias("_qv")
     )
-    # rank lists by centroid distance to the query: reuse assignment of
-    # the query row's own crossJoin — simpler: compute per-list distance
-    # of the query against every centroid via another broadcast pass
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.md5(F.col("vec_id").cast("string")))
-    cents = (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n_lists)
-        .select(F.col("_rk").alias("_cid"), F.col(vec).alias("_cvec"))
-    )
+    # rank the SAME centroid set by distance to the query (n_lists rows)
     qd = q.crossJoin(F.broadcast(cents))
     d2 = F.aggregate(
         F.zip_with(

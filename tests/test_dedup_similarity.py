@@ -136,3 +136,14 @@ def test_candidate_jaccard_matches_all_pairs(spark, docs):
         for r in dedup.candidate_jaccard(cands, sh).collect()
     }
     assert got == exact
+
+
+def test_ivf_no_single_partition_exchange(spark, emb):
+    """Centroid selection must be TakeOrdered, not a global no-partition
+    window: the IVF index plan may not contain a single-partition exchange
+    or a Window over the whole corpus."""
+    plan = (
+        similarity.ivf_index(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" not in plan, plan
