@@ -96,3 +96,64 @@ def test_node_and_env_inference(spark):
     ).collect()
     assert [r["nt"] for r in got] == ["locator", "server", "gateway", "unknown"]
     assert [r["env"] for r in got] == ["production", "staging", "development", "unknown"]
+
+
+YAML_CFG = """
+# engine config exercising every reference config feature
+metric_prefix: gemfire
+
+filters:
+  include_resource_types:
+    - CachePerfStats
+    - DistributionStats
+    - VMStats
+  exclude_resource_types:
+    - InternalDistributedSystemStats
+  include_stats: []
+  exclude_stats:
+    - internalUseOnly
+
+metric_mappings:
+  "CachePerfStats.puts":
+    name: cache_operations_total
+    labels:
+      operation: put
+  "CachePerfStats.debugMetric":
+    drop: true
+
+label_mappings:
+  env: production
+"""
+
+
+def test_yaml_config_loader_matches_programmatic(spark, tmp_path):
+    """Parsing the YAML shape of the reference's config
+    (internal/config/config.go:9-27) must behave identically to the
+    hand-built EngineConfig above, end to end through apply_config."""
+    from gfs_to_prometheus_spark.config import load_config, parse_config
+
+    cfg = parse_config(YAML_CFG)
+    assert cfg.metric_prefix == "gemfire"
+    assert cfg.exclude_resource_types == ["InternalDistributedSystemStats"]
+    assert cfg.include_stats == []
+    by_key = {r.key: r for r in cfg.metric_mappings}
+    assert by_key["CachePerfStats.puts"].name == "cache_operations_total"
+    assert by_key["CachePerfStats.puts"].labels == {"operation": "put"}
+    assert by_key["CachePerfStats.debugMetric"].drop is True
+
+    out_yaml = apply_config(_stats_df(spark), cfg, spark).collect()
+    out_prog = apply_config(_stats_df(spark), CFG, spark).collect()
+    key = lambda r: (r["resource_type"], r["stat_name"])
+    ry, rp = {key(r): r for r in out_yaml}, {key(r): r for r in out_prog}
+    assert set(ry) == set(rp)
+    for k in ry:
+        assert ry[k]["metric"] == rp[k]["metric"]
+        assert dict(ry[k]["labels"]) == dict(rp[k]["labels"])
+
+    # file path + defaults: omitted keys keep Default() values (config.go:29-36)
+    p = tmp_path / "cfg.yaml"
+    p.write_text("filters:\n  exclude_stats: [x]\n")
+    c2 = load_config(str(p))
+    assert c2.metric_prefix == "gemfire"
+    assert c2.exclude_stats == ["x"]
+    assert c2.metric_mappings == [] and c2.label_mappings == {}
