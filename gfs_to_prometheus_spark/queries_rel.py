@@ -381,6 +381,74 @@ def gfs_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cluster_node_rollup",
+    """
+WITH pathed AS (
+    SELECT '/data/' ||
+           CASE user_id % 3 WHEN 0 THEN 'prod-east' WHEN 1 THEN 'staging-eu'
+                            ELSE 'dev-local' END || '/' ||
+           CASE user_id % 4 WHEN 0 THEN 'server-01' WHEN 1 THEN 'locator-02'
+                            WHEN 2 THEN 'gateway-03' ELSE 'box-04' END ||
+           '/stats/archive.gfs' AS _path,
+           value
+    FROM events
+), labeled AS (
+    SELECT regexp_extract(_path, '.*/([^/]+)/stats/[^/]*$', 1) AS node,
+           regexp_extract(_path, '.*/([^/]+)/[^/]+/stats/[^/]*$', 1) AS cluster,
+           value
+    FROM pathed
+)
+SELECT cluster, node,
+       CASE WHEN contains(lower(node || '/' || cluster), 'locator') THEN 'locator'
+            WHEN contains(lower(node || '/' || cluster), 'gateway') THEN 'gateway'
+            ELSE 'server' END AS node_type,
+       CASE WHEN contains(lower(cluster), 'prod') THEN 'production'
+            WHEN contains(lower(cluster), 'stag') THEN 'staging'
+            WHEN contains(lower(cluster), 'dev') THEN 'development'
+            WHEN contains(lower(cluster), 'test') THEN 'test'
+            ELSE 'unknown' END AS environment,
+       count(*) AS n_samples,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_micro
+FROM labeled
+GROUP BY 1, 2, 3, 4
+""",
+)
+def cluster_node_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5/P6 end-to-end label extraction (cluster.enrich_with_node_labels,
+    mirroring /root/reference/internal/cluster/processor.go:171-217): node
+    from the stats-dir parent, cluster from the grandparent, node type and
+    environment by substring — then a per-node aggregate. The oracle
+    recomputes the same extraction in SQL over identically-built paths."""
+    from .cluster import enrich_with_node_labels
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "_path",
+        F.concat(
+            F.lit("/data/"),
+            F.element_at(
+                F.array(F.lit("prod-east"), F.lit("staging-eu"), F.lit("dev-local")),
+                (F.col("user_id") % 3 + 1).cast("int"),
+            ),
+            F.lit("/"),
+            F.element_at(
+                F.array(
+                    F.lit("server-01"), F.lit("locator-02"),
+                    F.lit("gateway-03"), F.lit("box-04"),
+                ),
+                (F.col("user_id") % 4 + 1).cast("int"),
+            ),
+            F.lit("/stats/archive.gfs"),
+        ),
+    )
+    lab = enrich_with_node_labels(ev)
+    return lab.groupBy("cluster", "node", "node_type", "environment").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(micro("value")).alias("sum_micro"),
+    )
+
+
+@query(
     "mutf8_series_roundtrip",
     """
 SELECT 'café—序列🚀·' || event_type AS series_key, epoch_ms(ts) AS ts_ms,

@@ -178,14 +178,23 @@ def encode_archive(
 
 
 def decode_archive(
-    archive: DataFrame, series: str = "series_key"
+    archive: DataFrame, series: str = "series_key",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
-    """(series?, n, record) -> (series, ts_ms, value_long).
+    """(series?, n, record, extra...) -> (series, [extras...], ts_ms,
+    value_long).
 
     The series name is read from the record's modified-UTF8 header (the
     separate column, if present, is ignored) — the inverse of the
-    reference's readUTF + delta/compact parse, batch-vectorized."""
-    out_schema = f"{series} string, ts_ms bigint, value_long bigint"
+    reference's readUTF + delta/compact parse, batch-vectorized.
+    `passthrough` columns (e.g. path-derived node labels) are repeated
+    onto every decoded sample of their record."""
+    extra = list(passthrough or [])
+    by_name = {f.name: f.dataType.simpleString() for f in archive.schema.fields}
+    extra_schema = "".join(f", {c} {by_name[c]}" for c in extra)
+    out_schema = (
+        f"{series} string{extra_schema}, ts_ms bigint, value_long bigint"
+    )
 
     def dec(batches):
         for pdf in batches:
@@ -193,12 +202,11 @@ def decode_archive(
                 continue
             records = [bytes(r) for r in pdf["record"]]
             names, counts, ts, vals = _decode_batch(records)
-            yield pd.DataFrame(
-                {
-                    series: np.repeat(np.array(names, dtype=object), counts),
-                    "ts_ms": ts,
-                    "value_long": vals,
-                }
-            )
+            d = {series: np.repeat(np.array(names, dtype=object), counts)}
+            for c in extra:
+                d[c] = np.repeat(pdf[c].to_numpy(), counts)
+            d["ts_ms"] = ts
+            d["value_long"] = vals
+            yield pd.DataFrame(d)
 
     return archive.mapInPandas(dec, out_schema)
