@@ -29,29 +29,30 @@ def grid(
     ts: str = "ts",
     value: str = "value",
 ) -> DataFrame:
-    """Dense (series × bucket) grid over the GLOBAL time range, left-joined
-    with the per-bucket last observation. Missing buckets have NULL ``obs``.
-    """
+    """Dense (series × bucket) grid over each series' OWN [min,max] range,
+    left-joined with the per-bucket last observation. Missing buckets have
+    NULL ``obs``.
+
+    Per-series ranges keep the grid size at Σ per-series spans instead of
+    (#series × global span): with short-lived series at 100× scale, a
+    global range explodes dead air for every series that wasn't alive —
+    the ranges come from the same single agg that provides the key list,
+    so this is one shuffle total."""
     step_ms = step_s * 1000
     # per-bucket last observation (sparse)
     sparse = (
         df.groupBy(*series, bucket_ms(ts, step_s).alias("bucket_ms"))
         .agg(F.max_by(value, ts).alias("obs"))
     )
-    # global [min,max] bucket range — tiny agg, broadcast back via crossJoin
-    rng = df.select(
+    rng = df.groupBy(*series).agg(
         F.min(bucket_ms(ts, step_s)).alias("b0"),
         F.max(bucket_ms(ts, step_s)).alias("b1"),
     )
-    keys = df.select(*series).distinct()
-    dense = (
-        keys.crossJoin(F.broadcast(rng))
-        .select(
-            *series,
-            F.explode(
-                F.sequence(F.col("b0"), F.col("b1"), F.lit(step_ms))
-            ).alias("bucket_ms"),
-        )
+    dense = rng.select(
+        *series,
+        F.explode(
+            F.sequence(F.col("b0"), F.col("b1"), F.lit(step_ms))
+        ).alias("bucket_ms"),
     )
     return dense.join(sparse, [*series, "bucket_ms"], "left")
 

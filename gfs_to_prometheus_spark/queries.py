@@ -238,15 +238,13 @@ WITH sparse AS (
            arg_max(value, ts) AS obs
     FROM events GROUP BY 1, 2
 ), rng AS (
-    SELECT min((epoch_ms(ts) // {ms}) * {ms}) AS b0,
+    SELECT event_type,
+           min((epoch_ms(ts) // {ms}) * {ms}) AS b0,
            max((epoch_ms(ts) // {ms}) * {ms}) AS b1
-    FROM events
+    FROM events GROUP BY 1
 ), dense AS (
-    SELECT k.event_type, g.bucket_ms
-    FROM (SELECT DISTINCT event_type FROM events) k
-    CROSS JOIN (
-        SELECT unnest(generate_series(b0, b1, {ms})) AS bucket_ms FROM rng
-    ) g
+    SELECT event_type, unnest(generate_series(b0, b1, {ms})) AS bucket_ms
+    FROM rng
 ), joined AS (
     SELECT d.event_type, d.bucket_ms, s.obs
     FROM dense d LEFT JOIN sparse s
