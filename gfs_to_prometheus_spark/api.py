@@ -44,11 +44,22 @@ class Engine:
     # -- tier routing --------------------------------------------------
 
     def _best_tier(self, step_s: int) -> tuple[str, int]:
-        """Coarsest materialized tier whose step divides the request."""
-        best = ("rollup_5m", 300)
+        """Coarsest materialized tier whose step divides the request.
+
+        A request no tier divides (e.g. step=60) cannot be served from
+        rollups — re-bucketing 5m aggregates into 60s buckets would
+        silently return wrong numbers — so it raises; callers needing
+        sub-5m resolution go through the raw chunks path (Engine.rate /
+        chunks decode)."""
+        best: tuple[str, int] | None = None
         for name, s in (("rollup_5m", 300), ("rollup_1h", 3600), ("rollup_1d", 86400)):
             if step_s % s == 0:
-                best = (f"{name}", s)
+                best = (name, s)
+        if best is None:
+            raise ValueError(
+                f"step {step_s}s is not a multiple of any materialized tier "
+                "(300/3600/86400s); query raw chunks for sub-5m resolution"
+            )
         return best
 
     def tier(self, name: str) -> DataFrame:

@@ -584,13 +584,17 @@ def pivot_type_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         ev.groupBy(bucket_ms("ts", 86400).alias("day_ms"))
         .pivot("event_type", ["click", "purchase", "error"])
-        .agg(F.coalesce(F.sum(micro("value")), F.lit(0)))
+        .agg(F.sum(micro("value")))
     )
+    # coalesce OUTSIDE the pivot agg: a day with zero rows of a type gets
+    # no agg invocation at all (NULL cell), matching the oracle's ELSE 0
+    # only if the default is applied to the pivoted column itself
     return p.select(
         "day_ms",
-        F.col("click").alias("click_micro"),
-        F.col("purchase").alias("purchase_micro"),
-        F.col("error").alias("error_micro"),
+        *[
+            F.coalesce(F.col(t), F.lit(0).cast("long")).alias(f"{t}_micro")
+            for t in ("click", "purchase", "error")
+        ],
     )
 
 

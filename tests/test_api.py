@@ -24,7 +24,10 @@ def test_tier_routing(engine):
     assert engine._best_tier(3600) == ("rollup_1h", 3600)
     assert engine._best_tier(7200) == ("rollup_1h", 3600)
     assert engine._best_tier(86400) == ("rollup_1d", 86400)
-    assert engine._best_tier(450) == ("rollup_5m", 300)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not a multiple"):
+        engine._best_tier(450)  # no tier divides 450s -> must refuse
 
 
 def test_range_query_matches_direct(engine, spark):
@@ -58,3 +61,10 @@ def test_topk(engine):
     assert len(top) == 3
     # the hot series must win
     assert top[0]["series_key"] == "series_0"
+
+
+def test_range_query_rejects_unservable_step(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not a multiple"):
+        engine.range_query("avg", 60)
