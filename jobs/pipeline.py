@@ -27,9 +27,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gfs_to_prometheus_spark import checkpoint, chunks, synth
+from gfs_to_prometheus_spark.naming import valid_instance, valid_value
 from gfs_to_prometheus_spark.rollup import rollup, rollup_merge
 
 SERIES = ("series_key",)
+
+
+def reject_reason(
+    series_col: str = "series_key", value: str = "value"
+) -> F.Column:
+    """PERMISSIVE-with-metrics validation (SURVEY §4): NULL for valid rows,
+    else the first failing rule's tag — F5 value sanity (NaN/Inf/|v|>1e15,
+    AllStatsExtractor.java:83-85), then F2 series validity (length 1..200,
+    >=80% printable, converter.go:148-163). Rows are never silently lost:
+    the pipeline counts each reason per partition into the `rejects` table
+    so input = written + rejected always reconciles."""
+    v = F.col(value)
+    return (
+        F.when(v.isNull() | ~valid_value(v), F.lit("value_sanity"))
+        .when(~valid_instance(F.col(series_col)), F.lit("invalid_series"))
+        .otherwise(F.lit(None).cast("string"))
+    )
 
 
 def build_samples(spark: SparkSession, n_docs: int) -> DataFrame:
@@ -83,12 +101,35 @@ def run_from_samples(
     todo = [d for d in all_days if d not in done]
     if not todo:
         return {}
-    day_samples = samples.filter(F.col("part").isin(todo))
-    # cache: every tier + chunks reads this once-computed slice
-    day_samples.cache()
+    tagged = samples.filter(F.col("part").isin(todo)).withColumn(
+        "_reject", reject_reason()
+    )
+    # cache the tagged slice: rejects agg + every tier + chunks read it
+    tagged.cache()
+    day_samples = tagged.filter(F.col("_reject").isNull()).drop("_reject")
 
     written: dict[str, int] = {}
     t0 = time.monotonic()
+
+    # rejected-row counters, committed like data (dynamic partition
+    # overwrite -> reprocessing a day replaces its counts, never doubles)
+    rej = (
+        tagged.filter(F.col("_reject").isNotNull())
+        .groupBy("part", F.col("_reject").alias("reason"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+    rej_rows = rej.collect()  # tiny: one row per (day, reason)
+    written["rejected"] = int(sum(r["rows"] for r in rej_rows))
+    if rej_rows:
+        checkpoint.write_partitioned(rej, out, "rejects")
+        per_part: dict[str, int] = {}
+        for r in rej_rows:
+            per_part[r["part"]] = per_part.get(r["part"], 0) + r["rows"]
+        checkpoint.append_lineage(
+            spark, out, job_id, "rejects",
+            [(p, n, 0) for p, n in sorted(per_part.items())],
+            int((time.monotonic() - t0) * 1000),
+        )
 
     t5 = rollup(day_samples, 300, series=SERIES).withColumn(
         "part", F.date_format(F.timestamp_millis("bucket_ms"), "yyyy-MM-dd")
@@ -118,7 +159,7 @@ def run_from_samples(
     written["chunks"] = ch.count()
 
     t5.unpersist()
-    day_samples.unpersist()
+    tagged.unpersist()
     return written
 
 

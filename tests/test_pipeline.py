@@ -80,3 +80,40 @@ def test_tiered_retention(spark, tmp_path):
     assert spark.read.parquet(os.path.join(out, "rollup_1h")).count() > 0
     remaining = retention.list_parts(out, "rollup_5m")
     assert days[0] not in remaining
+
+
+def test_rejected_row_counters_reconcile(spark, tmp_path):
+    """PERMISSIVE-with-metrics (SURVEY §4): invalid rows are counted per
+    (day, reason), never silently dropped — input = written + rejected."""
+    out = str(tmp_path / "tsdb")
+    good = pipeline.build_samples(spark, 400)
+    n_good = good.count()
+    bad = spark.createDataFrame(
+        [
+            ("s-nan", 1_700_000_000_000, float("nan")),
+            ("s-inf", 1_700_000_000_000, float("inf")),
+            ("s-huge", 1_700_000_060_000, 1e16),
+            ("\x01\x02\x03\x04\x05", 1_700_000_120_000, 1.0),  # <80% printable
+            ("", 1_700_000_180_000, 2.0),  # zero-length series
+        ],
+        "series_key string, ts_ms long, value double",
+    ).select(
+        "series_key",
+        F.timestamp_millis("ts_ms").alias("ts"),
+        "value",
+        F.date_format(F.timestamp_millis("ts_ms"), "yyyy-MM-dd").alias("part"),
+    )
+    samples = good.select("series_key", "ts", "value", "part").unionByName(bad)
+    written = pipeline.run_from_samples(spark, out, samples, job_id="rej")
+    assert written["rejected"] == 5
+    rej = spark.read.parquet(os.path.join(out, "rejects"))
+    by_reason = {r["reason"]: r["n"] for r in
+                 rej.groupBy("reason").agg(F.sum("rows").alias("n")).collect()}
+    assert by_reason == {"value_sanity": 3, "invalid_series": 2}
+    # reconcile: every valid input sample is in the chunk table
+    ch = spark.read.parquet(os.path.join(out, "chunks"))
+    n_chunks = ch.agg(F.sum("n")).collect()[0][0]
+    assert n_chunks + written["rejected"] == n_good + 5
+    # lineage carries the rejects commit
+    lin = checkpoint.read_lineage(spark, out)
+    assert lin.filter(F.col("table") == "rejects").count() >= 1
