@@ -119,11 +119,118 @@ def _pad_bits(nbits: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# small-chunk scalar fast paths
+# ---------------------------------------------------------------------------
+# A 14-sample chunk pays ~40 numpy-call overheads (~100+ us) through the
+# vectorized path; plain-int Python does the same work in ~10 us. Encode and
+# decode dispatch on n: below _SMALL_N the scalar twins run, producing
+# byte-identical output (hypothesis-tested equality in tests/test_codecs.py).
+_SMALL_N = 96
+_M64 = (1 << 64) - 1
+
+
+def _pack_sections_scalar(sections: list[list[tuple[int, int]]]) -> bytes:
+    """Each section = [(value, nbits)...], MSB-first, padded to a byte."""
+    out = b""
+    for pairs in sections:
+        acc = 0
+        total = 0
+        for v, nb in pairs:
+            acc = (acc << nb) | (v & ((1 << nb) - 1))
+            total += nb
+        if total:
+            pad = (-total) % 8
+            out += (acc << pad).to_bytes((total + pad) // 8, "big")
+    return out
+
+
+def _wrap64(x: int) -> int:
+    """Two's-complement int64 wrap (match numpy's int64 arithmetic)."""
+    return ((x + (1 << 63)) & _M64) - (1 << 63)
+
+
+class _BitReader:
+    __slots__ = ("acc", "total", "pos")
+
+    def __init__(self, buf: bytes):
+        self.acc = int.from_bytes(buf, "big")
+        self.total = len(buf) * 8
+        self.pos = 0
+
+    def take(self, nb: int) -> int:
+        self.pos += nb
+        return (self.acc >> (self.total - self.pos)) & ((1 << nb) - 1)
+
+    def align(self) -> None:
+        self.pos += (-self.pos) % 8
+
+
+# ---------------------------------------------------------------------------
 # delta-of-delta timestamps
 # ---------------------------------------------------------------------------
 
 #: 2-bit bucket code (for nonzero dods) -> zigzag payload width
 _DOD_WIDTHS = np.array([7, 11, 17, 64], dtype=np.int64)
+
+
+def _dod_encode_small(ts: np.ndarray) -> bytes:
+    t = [int(x) for x in ts]
+    n = len(t)
+    head = t[0].to_bytes(8, "little", signed=True)
+    if n == 1:
+        return head
+    flags: list[tuple[int, int]] = []
+    codes: list[tuple[int, int]] = []
+    pays: list[tuple[int, int]] = []
+    prev_d = 0
+    prev = t[0]
+    for i in range(1, n):
+        d = _wrap64(t[i] - prev)
+        dod = _wrap64(d - prev_d)
+        prev, prev_d = t[i], d
+        z = ((dod << 1) ^ (dod >> 63)) & _M64
+        if z == 0:
+            flags.append((0, 1))
+            continue
+        flags.append((1, 1))
+        if z < (1 << 7):
+            codes.append((0, 2)); pays.append((z, 7))
+        elif z < (1 << 11):
+            codes.append((1, 2)); pays.append((z, 11))
+        elif z < (1 << 17):
+            codes.append((2, 2)); pays.append((z, 17))
+        else:
+            codes.append((3, 2)); pays.append((z, 64))
+    return head + _pack_sections_scalar([flags, codes, pays])
+
+
+def _dod_decode_small(buf: bytes, n: int) -> np.ndarray:
+    t0 = int.from_bytes(buf[:8], "little", signed=True)
+    out = [0] * n
+    out[0] = t0
+    if n == 1:
+        return np.array(out, dtype=np.int64)
+    r = _BitReader(buf[8:])
+    nz = [r.take(1) for _ in range(n - 1)]
+    r.align()
+    k = sum(nz)
+    codes = [r.take(2) for _ in range(k)]
+    r.align()
+    widths = (7, 11, 17, 64)
+    ci = 0
+    d = 0
+    cur = t0
+    for i in range(n - 1):
+        if nz[i]:
+            z = r.take(widths[codes[ci]])
+            ci += 1
+            dod = (z >> 1) ^ -(z & 1)
+        else:
+            dod = 0
+        d = _wrap64(d + dod)
+        cur = _wrap64(cur + d)
+        out[i + 1] = cur
+    return np.array(out, dtype=np.int64)
 
 
 def dod_encode(ts_ms: np.ndarray) -> bytes:
@@ -136,6 +243,8 @@ def dod_encode(ts_ms: np.ndarray) -> bytes:
     n = len(ts)
     if n == 0:
         return b""
+    if n <= _SMALL_N:
+        return _dod_encode_small(ts)
     head = ts[:1].astype("<i8").tobytes()
     if n == 1:
         return head
@@ -161,6 +270,8 @@ def dod_encode(ts_ms: np.ndarray) -> bytes:
 def dod_decode(buf: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    if n <= _SMALL_N:
+        return _dod_decode_small(buf, n)
     t0 = np.frombuffer(buf[:8], dtype="<i8")[0]
     if n == 1:
         return np.array([t0], dtype=np.int64)
@@ -185,11 +296,60 @@ def dod_decode(buf: bytes, n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _xor_encode_small(v: np.ndarray) -> bytes:
+    bits = [int(b) for b in v.view(_U64)]
+    head = bits[0].to_bytes(8, "little")
+    n = len(bits)
+    if n == 1:
+        return head
+    flags: list[tuple[int, int]] = []
+    hdrs: list[tuple[int, int]] = []
+    pays: list[tuple[int, int]] = []
+    for i in range(1, n):
+        x = bits[i] ^ bits[i - 1]
+        if x == 0:
+            flags.append((0, 1))
+            continue
+        flags.append((1, 1))
+        lead = min(64 - x.bit_length(), 31)
+        trail = (x & -x).bit_length() - 1
+        mean = 64 - lead - trail
+        hdrs.append(((lead << 6) | (mean % 64), 11))
+        pays.append((x >> trail, mean))
+    return head + _pack_sections_scalar([flags, hdrs, pays])
+
+
+def _xor_decode_small(buf: bytes, n: int) -> np.ndarray:
+    cur = int.from_bytes(buf[:8], "little")
+    out = [0] * n
+    out[0] = cur
+    if n > 1:
+        r = _BitReader(buf[8:])
+        nz = [r.take(1) for _ in range(n - 1)]
+        r.align()
+        k = sum(nz)
+        hdrs = [r.take(11) for _ in range(k)]
+        r.align()
+        ci = 0
+        for i in range(n - 1):
+            if nz[i]:
+                h = hdrs[ci]
+                ci += 1
+                lead = h >> 6
+                mean = h & 0x3F or 64
+                trail = 64 - lead - mean
+                cur ^= r.take(mean) << trail
+            out[i + 1] = cur
+    return np.array(out, dtype=_U64).view(np.float64)
+
+
 def xor_encode(vals: np.ndarray) -> bytes:
     v = np.ascontiguousarray(vals, dtype=np.float64).view(_U64)
     n = len(v)
     if n == 0:
         return b""
+    if n <= _SMALL_N:
+        return _xor_encode_small(np.ascontiguousarray(vals, dtype=np.float64))
     head = v[:1].astype("<u8").tobytes()
     if n == 1:
         return head
@@ -213,6 +373,8 @@ def xor_encode(vals: np.ndarray) -> bytes:
 def xor_decode(buf: bytes, n: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.float64)
+    if n <= _SMALL_N:
+        return _xor_decode_small(buf, n)
     v0 = np.frombuffer(buf[:8], dtype="<u8")[0]
     if n == 1:
         return np.array([v0], dtype=_U64).view(np.float64)

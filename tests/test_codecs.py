@@ -174,3 +174,38 @@ def test_compact_encode_kernel_speed():
         for _ in range(3)
     )
     assert len(v) / best >= 10_000_000, f"{len(v)/best:.0f} vals/s"
+
+
+@given(
+    st.integers(min_value=1, max_value=180),
+    st.integers(min_value=0, max_value=2**40),
+)
+@settings(max_examples=60, deadline=None)
+def test_small_chunk_paths_byte_identical(n, t0):
+    """The scalar small-chunk fast paths must emit byte-identical output to
+    the vectorized encoders (and decode to the same values)."""
+    rng = np.random.default_rng(n * 7919 + 13)
+    ts = (t0 + np.cumsum(rng.integers(0, 2**33, n))).astype(np.int64)
+    vals = np.where(
+        rng.random(n) < 0.3, rng.normal(0, 1e6, n), np.round(rng.normal(50, 10, n), 2)
+    ).astype(np.float64)
+    if n > 3:
+        vals[1] = vals[0]
+        vals[2] = np.nan
+        vals[3] = np.inf
+    old = codecs._SMALL_N
+    try:
+        codecs._SMALL_N = 10**9
+        b_dod_s, b_xor_s = codecs.dod_encode(ts), codecs.xor_encode(vals)
+        codecs._SMALL_N = 0
+        b_dod_v, b_xor_v = codecs.dod_encode(ts), codecs.xor_encode(vals)
+        assert b_dod_s == b_dod_v and b_xor_s == b_xor_v
+        codecs._SMALL_N = 10**9
+        t_s, v_s = codecs.dod_decode(b_dod_s, n), codecs.xor_decode(b_xor_s, n)
+        codecs._SMALL_N = 0
+        t_v, v_v = codecs.dod_decode(b_dod_s, n), codecs.xor_decode(b_xor_s, n)
+    finally:
+        codecs._SMALL_N = old
+    assert np.array_equal(t_s, t_v) and np.array_equal(t_s, ts)
+    assert np.array_equal(v_s.view(np.uint64), v_v.view(np.uint64))
+    assert np.array_equal(v_s.view(np.uint64), vals.view(np.uint64))
