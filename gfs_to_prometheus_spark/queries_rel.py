@@ -381,6 +381,41 @@ def gfs_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "resource_id_roundtrip",
+    """
+SELECT (user_id * 131) % 100000 AS rid, count(*) AS n_ids
+FROM events GROUP BY 1
+""",
+)
+def resource_id_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 compact resource-instance-id parity: ids spanning all three wire
+    widths (inline 0..252 / 253+u16 / 254+u32, 255-terminated — the form the
+    reference's sample loop walks at internal/gfs/statarchive.go:1330-1345)
+    are packed per Arrow batch, decoded back, and the multiset compared to
+    the identity oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from . import codecs
+
+    ids = load(spark, sf_dir, "events").select(
+        ((F.col("user_id") * 131) % 100000).alias("rid")
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            v = pdf["rid"].to_numpy(np.int64)
+            back = codecs.resource_id_decode(codecs.resource_id_encode(v))
+            yield pd.DataFrame({"rid": back})
+
+    return (
+        ids.mapInPandas(rt, "rid bigint")
+        .groupBy("rid")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
+    )
+
+
+@query(
     "cluster_node_rollup",
     """
 WITH pathed AS (

@@ -209,3 +209,25 @@ def test_small_chunk_paths_byte_identical(n, t0):
     assert np.array_equal(t_s, t_v) and np.array_equal(t_s, ts)
     assert np.array_equal(v_s.view(np.uint64), v_v.view(np.uint64))
     assert np.array_equal(v_s.view(np.uint64), vals.view(np.uint64))
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(0, 252),
+            st.integers(253, 0xFFFF),
+            st.integers(0x10000, 2**31 - 1),
+        ),
+        max_size=300,
+    )
+)
+def test_resource_id_roundtrip_hypothesis(ids):
+    v = np.array(ids, dtype=np.int64)
+    buf = codecs.resource_id_encode(v)
+    assert buf[-1] == 255  # ILLEGAL_RESOURCE_INST_ID terminator
+    assert np.array_equal(codecs.resource_id_decode(buf), v)
+
+
+def test_resource_id_wire_bytes():
+    buf = codecs.resource_id_encode(np.array([7, 253, 70000], dtype=np.int64))
+    assert buf == bytes([7, 253, 0, 253, 254, 0, 1, 17, 112, 255])
