@@ -728,3 +728,97 @@ def resource_id_decode(buf: bytes) -> np.ndarray:
                 u = (u << 8) | b[p + 1 + j].astype(np.int64)
             vals[np.searchsorted(pos_all, p)] = u
     return vals
+
+
+# ---------------------------------------------------------------------------
+# timestamp-delta tokens (D1 wire form)
+# ---------------------------------------------------------------------------
+# The reference's updateTimeStamp (/root/reference/internal/gfs/
+# statarchive.go:296-316): a token byte < 252 IS the delta; 252 announces a
+# 2-byte delta; anything larger a 4-byte delta (big-endian; the reader
+# honors the archive's byte order, big-endian for the Java writer).
+# Encode writes 253 for the 4-byte case so the roundtrip is canonical.
+
+_TS_SHORT = 252
+_TS_INT = 253
+
+
+def ts_token_encode(ts_ms: np.ndarray) -> bytes:
+    """Sorted int64 epoch-ms -> [u64 t0 BE][delta tokens x (n-1)]."""
+    ts = np.ascontiguousarray(ts_ms, dtype=np.int64)
+    n = len(ts)
+    if n == 0:
+        return b""
+    head = ts[:1].astype(">i8").tobytes()
+    d = np.diff(ts)
+    if (d < 0).any() or (d > 0xFFFFFFFF).any():
+        raise ValueError("deltas must be in [0, 2^32-1] (sorted, <49.7d apart)")
+    tot = np.where(d < _TS_SHORT, 1, np.where(d <= 0xFFFF, 3, 5))
+    ends = np.cumsum(tot)
+    starts = ends - tot
+    out = np.empty(int(ends[-1]) if n > 1 else 0, dtype=np.uint8)
+    m1 = tot == 1
+    out[starts[m1]] = d[m1]
+    m2 = tot == 3
+    if m2.any():
+        s, u = starts[m2], d[m2]
+        out[s] = _TS_SHORT
+        out[s + 1] = u >> 8
+        out[s + 2] = u & 0xFF
+    m4 = tot == 5
+    if m4.any():
+        s, u = starts[m4], d[m4]
+        out[s] = _TS_INT
+        for j in range(4):
+            out[s + 1 + j] = (u >> (8 * (3 - j))) & 0xFF
+    return head + out.tobytes()
+
+
+def ts_token_decode(buf: bytes, n: int) -> np.ndarray:
+    """Inverse: n timestamps from the token stream (candidate-chain walk,
+    mirroring the reader's token dispatch at statarchive.go:300-315)."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    t0 = int.from_bytes(buf[:8], "big", signed=True)
+    if n == 1:
+        return np.array([t0], dtype=np.int64)
+    b = np.frombuffer(buf[8:], dtype=np.uint8)
+    is_one = b < _TS_SHORT
+    cand = np.flatnonzero(~is_one)
+    tok_mask = np.ones(len(b), dtype=bool)
+    mt = np.empty(0, dtype=np.int64)
+    wm = np.empty(0, dtype=np.int64)
+    if len(cand):
+        wc = np.where(b[cand] == _TS_SHORT, 2, 4)
+        g = np.searchsorted(cand, cand + 1 + wc).astype(np.int64)
+        g = np.append(g, len(cand))
+        pos = np.array([0], dtype=np.int64)
+        gk = g
+        while pos[-1] < len(cand):
+            pos = np.concatenate([pos, gk[pos]])
+            gk = gk[gk]
+        pos = pos[pos < len(cand)]
+        mt, wm = cand[pos], wc[pos]
+        ok = mt + wm < len(b)
+        mt, wm = mt[ok], wm[ok]
+        for k in (2, 4):
+            p = mt[wm == k]
+            if len(p):
+                for j in range(1, k + 1):
+                    tok_mask[p + j] = False
+    pos_all = np.flatnonzero(tok_mask)
+    d = np.empty(len(pos_all), dtype=np.int64)
+    one = is_one[pos_all]
+    d[one] = b[pos_all[one]]
+    for k in (2, 4):
+        p = mt[wm == k]
+        if not len(p):
+            continue
+        u = np.zeros(len(p), dtype=np.int64)
+        for j in range(k):
+            u = (u << 8) | b[p + 1 + j].astype(np.int64)
+        d[np.searchsorted(pos_all, p)] = u
+    out = np.empty(n, dtype=np.int64)
+    out[0] = t0
+    out[1:] = t0 + np.cumsum(d[: n - 1])
+    return out

@@ -381,6 +381,59 @@ def gfs_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_token_roundtrip",
+    """
+SELECT event_type, epoch_ms(ts) AS ts_ms, count(*) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def ts_token_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 wire-form parity with the reference's ACTUAL timestamp decoder
+    (updateTimeStamp, internal/gfs/statarchive.go:296-316): per-series
+    sorted timestamps packed as <252-inline / 252+u16 / u32 delta tokens,
+    decoded back, multiset-compared to the identity oracle."""
+    import numpy as np
+    import pandas as pd
+
+    from . import codecs
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        )
+        .repartition("event_type")
+        .sortWithinPartitions("event_type", "ts_ms")
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            gid = pdf["event_type"].ne(pdf["event_type"].shift()).to_numpy().cumsum()
+            starts = np.flatnonzero(np.diff(gid, prepend=gid[0] - 1))
+            ends = np.append(starts[1:], len(pdf))
+            t = pdf["ts_ms"].to_numpy(np.int64)
+            outs = []
+            for s, e in zip(starts, ends):
+                buf = codecs.ts_token_encode(t[s:e])
+                outs.append(codecs.ts_token_decode(buf, e - s))
+            yield pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"].to_numpy(),
+                    "ts_ms": np.concatenate(outs),
+                }
+            )
+
+    return (
+        ev.mapInPandas(rt, "event_type string, ts_ms bigint")
+        .groupBy("event_type", "ts_ms")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
     "resource_id_roundtrip",
     """
 SELECT (user_id * 131) % 100000 AS rid, count(*) AS n_ids

@@ -231,3 +231,29 @@ def test_resource_id_roundtrip_hypothesis(ids):
 def test_resource_id_wire_bytes():
     buf = codecs.resource_id_encode(np.array([7, 253, 70000], dtype=np.int64))
     assert buf == bytes([7, 253, 0, 253, 254, 0, 1, 17, 112, 255])
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(0, 251),
+            st.integers(252, 0xFFFF),
+            st.integers(0x10000, 0xFFFFFFFF),
+        ),
+        max_size=300,
+    ),
+    st.integers(0, 2**40),
+)
+def test_ts_token_roundtrip_hypothesis(deltas, t0):
+    ts = (t0 + np.cumsum([0] + deltas)).astype(np.int64)
+    buf = codecs.ts_token_encode(ts)
+    assert np.array_equal(codecs.ts_token_decode(buf, len(ts)), ts)
+
+
+def test_ts_token_wire_bytes():
+    """statarchive.go:300-315 dispatch: <252 inline, 252 -> u16, else u32."""
+    ts = np.array([1000, 1005, 1000 + 5 + 300, 1000 + 5 + 300 + 70000],
+                  dtype=np.int64)
+    buf = codecs.ts_token_encode(ts)
+    assert buf[:8] == (1000).to_bytes(8, "big")
+    assert buf[8:] == bytes([5, 252, 1, 44, 253, 0, 1, 17, 112])
