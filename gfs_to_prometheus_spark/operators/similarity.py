@@ -59,17 +59,26 @@ def cosine_topk(
     )
 
 
+def _plane_weight(p: int):
+    """Single-arg lambda factory: a two-parameter lambda (even with a bound
+    default) is treated by transform() as (element, index), which would
+    silently make every plane identical — the closure keeps arity 1."""
+
+    def w(d):
+        return (
+            F.pmod(F.xxhash64(F.lit(p), d), F.lit(2001)) - 1000
+        ).cast("double") / 1000.0
+
+    return w
+
+
 def lsh_signature(vec, planes: int = 16, dim: int = 64):
     """Sign bits against deterministic pseudo-hyperplanes: plane p,
     coordinate d has weight ((xxhash64(p, d) % 2001) - 1000) / 1000."""
     bits = []
     for p in range(planes):
         w = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d, p=p: (
-                F.pmod(F.xxhash64(F.lit(p), d), F.lit(2001)) - 1000
-            ).cast("double")
-            / 1000.0,
+            F.sequence(F.lit(0), F.lit(dim - 1)), _plane_weight(p)
         )
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
@@ -88,14 +97,18 @@ def ann_lsh_topk(
     df: DataFrame,
     query_vec_id: int,
     k: int = 10,
-    planes: int = 16,
+    planes: int = 6,
     probe_hamming: int = 1,
     vec: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
     """ANN: candidates = vectors whose LSH bucket is within `probe_hamming`
     bit flips of the query's bucket (multi-probe), re-ranked by exact
-    cosine. Bucket assignment is one narrow pass over the corpus."""
+    cosine. Bucket assignment is one narrow pass over the corpus.
+
+    Size `planes` ~ log2(corpus / target bucket size): buckets shrink 2x
+    per plane, so at 10^12 vectors ~26 planes keeps candidate sets small
+    while 6 suits the 500-vector fixture (64 buckets, ~8 each)."""
     sig = lsh_signature(F.col(vec), planes, dim)
     corpus = df.withColumn("_sig", sig)
     qrow = corpus.filter(F.col("vec_id") == query_vec_id).select(
@@ -223,4 +236,91 @@ def ivf_topk(
         cands.select("vec_id", cos.alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame, threshold: float, vec: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vec_id_a < vec_id_b, cosine >= t) —
+    the EXACT all-pairs baseline (oracle-checkable; quadratic, like the
+    n-gram Jaccard baseline). The scale path is cosine_dup_pairs_lsh.
+
+    Dots use the scaled-int64 sum rule so the result is shuffle-order
+    independent and bit-exact vs the SQL oracle."""
+    a = df.select(F.col("vec_id").alias("vec_id_a"), F.col(vec).alias("_va"))
+    b = df.select(F.col("vec_id").alias("vec_id_b"), F.col(vec).alias("_vb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("vec_id_a") < F.col("vec_id_b")
+    )
+    dot = _sumlong(_dot_terms(F.col("_va"), F.col("_vb")))
+    na = _sumlong(_dot_terms(F.col("_va"), F.col("_va")))
+    nb = _sumlong(_dot_terms(F.col("_vb"), F.col("_vb")))
+    cos = dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+    return (
+        pairs.select("vec_id_a", "vec_id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    planes: int = 12,
+    bands: int = 6,
+    vec: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Banded sign-LSH near-dup: candidates collide in >=1 band of r =
+    planes/bands hyperplane sign bits, then exact-cosine verification runs
+    on the CANDIDATE PAIRS ONLY (self-join keyed on (band, band-bits) —
+    never the all-pairs plan). Per-pair collision prob is
+    1-(1-(1-theta/pi)^r)^b, so r/b tune recall vs candidate volume;
+    near-identical embeddings (cos >= 0.9) are caught with near-certainty.
+    Probabilistic -> rows-only driver check + pytest recall floor."""
+    r = planes // bands
+    sig_bits = lsh_signature(F.col(vec), planes, dim)
+    corpus = df.select("vec_id", vec).withColumn("_sig", sig_bits)
+    banded = corpus.select(
+        "vec_id",
+        vec,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band"),
+                        F.shiftright(F.col("_sig"), bnd * r)
+                        .bitwiseAND(F.lit((1 << r) - 1))
+                        .alias("key"),
+                    )
+                    for bnd in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", vec, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("vec_id").alias("vec_id_a"), F.col(vec).alias("_va"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("key"),
+        F.col("vec_id").alias("vec_id_b"), F.col(vec).alias("_vb"),
+    )
+    cands = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", "_va", "_vb")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    dot = _sumlong(_dot_terms(F.col("_va"), F.col("_vb")))
+    na = _sumlong(_dot_terms(F.col("_va"), F.col("_va")))
+    nb = _sumlong(_dot_terms(F.col("_vb"), F.col("_vb")))
+    cos = dot.cast("double") / (
+        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    )
+    return (
+        cands.select("vec_id_a", "vec_id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )

@@ -275,6 +275,45 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOT = (
+    "CAST(list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(floor(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)"
+    "*1000000000000.0 + 0.5) AS BIGINT)), 'sum') AS DOUBLE)"
+)
+
+_COSINE_DUPS_SQL = f"""
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       {_DOT.format(a='a.embedding', b='b.embedding')}
+       / ( sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+         * sqrt({_DOT.format(a='b.embedding', b='b.embedding')}) ) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+      / ( sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+        * sqrt({_DOT.format(a='b.embedding', b='b.embedding')}) )
+      >= CAST(0.4 AS DOUBLE)
+"""
+
+
+@query("embedding_dup_pairs", _COSINE_DUPS_SQL)
+def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs at t=0.4 — the exact all-pairs
+    baseline (oracle-checked); cosine uses the scaled-int64 dot rule so
+    both engines agree bit-for-bit."""
+    return similarity.cosine_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@query("embedding_dup_pairs_lsh")  # probabilistic banding -> rows-only
+def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH near-dup (6 bands x 2 planes at this threshold),
+    exact-cosine verification on candidate pairs only. Precision 1.0 by
+    construction; recall is the banding curve -> rows-only + pytest."""
+    return similarity.cosine_dup_pairs_lsh(
+        load(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling (training-data selection)
 # ---------------------------------------------------------------------------

@@ -147,3 +147,44 @@ def test_ivf_no_single_partition_exchange(spark, emb):
     )
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_embedding_dup_lsh_precision_and_recall(spark, emb):
+    """LSH near-dup pairs are a subset of the exact pairs (precision 1.0);
+    banding with 6 bands of 2 keeps recall high at t=0.4."""
+    exact = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in similarity.cosine_dup_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in similarity.cosine_dup_pairs_lsh(emb, threshold=0.4).collect()
+    }
+    assert lsh <= exact
+    assert len(exact) > 0
+    assert len(lsh) / len(exact) >= 0.7
+
+
+def test_embedding_near_identical_always_caught(spark):
+    """Planted near-dups (cosine >= 0.99) must be found with certainty-ish
+    banding (4 bands of 4 at high threshold)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(0, 1, 64)
+    rows = []
+    for i in range(40):
+        v = rng.normal(0, 1, 64)
+        rows.append((i, [float(x) for x in v]))
+    # plant: 100 and 101 are tiny perturbations of the same vector
+    rows.append((100, [float(x) for x in base]))
+    rows.append((101, [float(x) for x in base + rng.normal(0, 0.01, 64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in similarity.cosine_dup_pairs_lsh(
+            df, threshold=0.95, planes=16, bands=4
+        ).collect()
+    }
+    assert (100, 101) in got
+    assert all(p == (100, 101) for p in got)  # nothing random sneaks past t=0.95
