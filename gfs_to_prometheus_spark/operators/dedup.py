@@ -82,6 +82,10 @@ def jaccard_pairs(
             sh.join(dfreq.filter(F.col("_df") <= max_df), "shingle")
             .select("doc_id", "shingle")
         )
+    # the shingle index feeds three consumers (both join sides + sizes);
+    # materialize it once instead of re-running the explode per consumer —
+    # at cluster scale this is the standard temp-table shingle index
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -190,6 +194,7 @@ def candidate_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
     from one tiny agg. Every join is a key equi-join on doc ids / (doc id,
     shingle) — shuffles scale with the candidate set, not the corpus square.
     """
+    sh = sh.localCheckpoint(eager=False)  # three consumers, one compute
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
