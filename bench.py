@@ -51,6 +51,14 @@ def main() -> None:
     # queries, not session startup
     n_samples = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
+    # one untimed warm pass: whole-stage codegen compilation and page-cache
+    # fills otherwise dominate the first execution of each plan shape
+    # (measured 1.5-2x inflation on this host); timed numbers below are
+    # steady-state
+    for name in HEADLINE:
+        if name in QUERIES:
+            QUERIES[name](spark, sf_dir).count()
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
