@@ -248,3 +248,51 @@ def simhash(df: DataFrame, text: str = "text", bits: int = 60) -> DataFrame:
         )
         sh = term if sh is None else sh + term
     return bit_sums.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, max_hamming: int = 3, text: str = "text", bits: int = 60
+) -> DataFrame:
+    """SimHash Hamming-ball near-dup pairs (doc_a < doc_b,
+    hamming(simhash_a, simhash_b) <= max_hamming) — EXACT, not
+    probabilistic: the hash is split into max_hamming+1 bit-bands, and by
+    pigeonhole any pair within the ball agrees exactly on >= 1 band, so the
+    band equi-join loses nothing. Verification (bit_count of xor) runs on
+    band-collision candidates only; cost ~ docs x bands + candidate pairs.
+    """
+    bands = max_hamming + 1
+    r = bits // bands
+    sh = simhash(df, text, bits).localCheckpoint(eager=False)
+    widths = [r + (1 if b < bits % bands else 0) for b in range(bands)]
+    offs = [sum(widths[:b]) for b in range(bands)]
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), offs[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.select(
+        "band", "key", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_ha")
+    )
+    b = banded.select(
+        "band", "key", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_hb")
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -237,6 +237,42 @@ def simhash60(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(load(spark, sf_dir, "documents"))
 
 
+_SIMHASH_CTE = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+), hashed AS (
+    SELECT doc_id, md5_number_lower(tok) AS h FROM toks
+), sh AS (
+    SELECT doc_id,
+           ({' + '.join(f"CASE WHEN sum(CAST((h >> {b}) & 1 AS BIGINT) * 2 - 1) > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END" for b in range(60))})
+           AS simhash
+    FROM hashed GROUP BY doc_id
+)
+"""
+
+
+@query(
+    "simhash_dup_pairs",
+    _SIMHASH_CTE
+    + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball pairs (<=3 bit diffs) via the pigeonhole band
+    join — EXACT and complete, so the quadratic SQL oracle must agree."""
+    from pyspark.sql import functions as F
+
+    out = dedup.simhash_dup_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -188,3 +188,22 @@ def test_embedding_near_identical_always_caught(spark):
     }
     assert (100, 101) in got
     assert all(p == (100, 101) for p in got)  # nothing random sneaks past t=0.95
+
+
+def test_simhash_band_join_is_complete(spark, docs):
+    """Pigeonhole completeness: the band join must find EVERY pair within
+    the Hamming ball (compare against brute force over collected hashes)."""
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_dup_pairs(docs, max_hamming=3).collect()
+    }
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    ids = sorted(h)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(h[a] ^ h[b]).count("1") <= 3
+    }
+    assert got == want
+    assert len(want) > 0
