@@ -296,3 +296,54 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def components(pairs: DataFrame, nodes: DataFrame | None = None) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id,
+    component) where component = min doc_id reachable — the "cluster and
+    keep one" step of corpus dedup (keeper = the doc whose id equals its
+    component).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in <= diameter
+    rounds (hop-doubling is overkill for near-dup graphs, whose components
+    are tiny cliques). Each round is ONE shuffle (join on edges + groupBy);
+    the loop runs on the driver with localCheckpoint truncating lineage so
+    plans stay flat. Deterministic; no RNG, no SQL-inexpressible state —
+    the oracle is a recursive CTE.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    if nodes is None:
+        nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    edges = sym.localCheckpoint(eager=False)
+    labels = nodes.select("doc_id", F.col("doc_id").alias("component"))
+    while True:
+        neigh = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "dst"), "dst"
+            )
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("component").alias("_n"))
+        )
+        new = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_n"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()  # eager: materialize the round, flat lineage
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "_old"), "doc_id")
+            .filter(F.col("component") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels

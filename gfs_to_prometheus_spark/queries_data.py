@@ -208,6 +208,52 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPONENTS_SQL = """
+WITH RECURSIVE toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, trim(text) AS shingle FROM toks WHERE len(w) < 3
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), jp AS (
+    SELECT doc_a, doc_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+          >= 0.05
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM jp
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM jp
+), reach(doc, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc
+)
+SELECT doc AS doc_id, min(lab) AS component FROM reach GROUP BY 1
+"""
+
+
+@query("dedup_components", _COMPONENTS_SQL)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the jaccard>=0.05 pair
+    graph (keeper = the doc whose id equals its component). Spark side is
+    iterative min-label propagation; the oracle a recursive CTE."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, threshold=0.05)
+    return dedup.components(pairs)
+
+
 @query("minhash_lsh_dups")  # probabilistic banding -> rows-only check
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified to exact jaccard>=0.05.

@@ -207,3 +207,15 @@ def test_simhash_band_join_is_complete(spark, docs):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_components_chain_and_clique(spark):
+    """Label propagation converges on a path graph (worst diameter) and
+    singleton edges; keeper = min id per component."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["doc_id"]: r["component"] for r in dedup.components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
