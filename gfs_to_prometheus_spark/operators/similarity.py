@@ -324,3 +324,44 @@ def cosine_dup_pairs_lsh(
         cands.select("vec_id_a", "vec_id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_refine(
+    df: DataFrame, cents: DataFrame, vec: str = "embedding"
+) -> DataFrame:
+    """One Lloyd (k-means) iteration over the hash-sampled centroids:
+    assign every vector to its nearest centroid, then recentre each list on
+    the element-wise mean of its members. Deterministic (no RNG), one
+    shuffle (posexplode -> groupBy (list, dim)); Lloyd monotonicity
+    guarantees total within-list distance never increases, so a fixed
+    iteration count is a safe, resumable build step at any scale."""
+    assigned = ivf_index(df, vec=vec, cents=cents)
+    dims = (
+        assigned.select("_list", F.posexplode(F.col(vec)).alias("pos", "x"))
+        .groupBy("_list", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    rows = dims.collect()  # n_lists x dim rows — tiny at any corpus size
+    by_list: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_list.setdefault(r["_list"], {})[r["pos"]] = r["m"]
+    data = [
+        (cid, [float(v[p]) for p in sorted(v)]) for cid, v in sorted(by_list.items())
+    ]
+    return df.sparkSession.createDataFrame(data, "_cid int, _cvec array<float>")
+
+
+def ivf_total_distance(df: DataFrame, cents: DataFrame, vec: str = "embedding"):
+    """Sum of squared distance to the assigned centroid (Lloyd objective)."""
+    joined = df.crossJoin(F.broadcast(cents))
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec), F.col("_cvec"),
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    per_vec = joined.groupBy("vec_id").agg(F.min(d2).alias("_d"))
+    return per_vec.agg(F.sum("_d")).collect()[0][0]

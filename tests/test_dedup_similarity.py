@@ -219,3 +219,18 @@ def test_components_chain_and_clique(spark):
     got = {r["doc_id"]: r["component"] for r in dedup.components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_ivf_lloyd_refine_monotone(spark, emb):
+    """One Lloyd iteration never increases the k-means objective, and the
+    refined index still answers top-k deterministically."""
+    c0 = similarity.ivf_centroids(emb, n_lists=8)
+    d0 = similarity.ivf_total_distance(emb, c0)
+    c1 = similarity.ivf_refine(emb, c0)
+    d1 = similarity.ivf_total_distance(emb, c1)
+    assert d1 <= d0 + 1e-9
+    c2 = similarity.ivf_refine(emb, c1)
+    d2 = similarity.ivf_total_distance(emb, c2)
+    assert d2 <= d1 + 1e-9
+    idx = similarity.ivf_index(emb, cents=c2)
+    assert idx.select("_list").distinct().count() <= 8
