@@ -707,7 +707,11 @@ def resource_id_decode(buf: bytes) -> np.ndarray:
             end_at = int(mt[cut])
             mt, wm = mt[:cut], wm[:cut]
         ok = mt + wm < end_at
-        mt, wm = mt[ok], wm[ok]
+        if not ok.all():
+            # truncated trailing token: drop it AND everything after it
+            # (its token byte and orphaned payload bytes are not tokens)
+            end_at = int(mt[~ok][0])
+            mt, wm = mt[ok], wm[ok]
         for k in (2, 4):
             p = mt[wm == k]
             if len(p):
@@ -800,7 +804,10 @@ def ts_token_decode(buf: bytes, n: int) -> np.ndarray:
         pos = pos[pos < len(cand)]
         mt, wm = cand[pos], wc[pos]
         ok = mt + wm < len(b)
-        mt, wm = mt[ok], wm[ok]
+        if not ok.all():
+            # truncated trailing token: nothing at or after it is a token
+            tok_mask[mt[~ok][0]:] = False
+            mt, wm = mt[ok], wm[ok]
         for k in (2, 4):
             p = mt[wm == k]
             if len(p):

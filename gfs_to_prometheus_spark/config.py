@@ -33,9 +33,21 @@ def parse_config(text: str) -> EngineConfig:
     if not isinstance(doc, dict):
         raise ValueError("config root must be a mapping")
     filters = doc.get("filters") or {}
+    if not isinstance(filters, dict):
+        raise ValueError("config 'filters' must be a mapping")
+    raw_mappings = doc.get("metric_mappings") or {}
+    if not isinstance(raw_mappings, dict):
+        raise ValueError("config 'metric_mappings' must be a mapping")
+    raw_labels = doc.get("label_mappings") or {}
+    if not isinstance(raw_labels, dict):
+        raise ValueError("config 'label_mappings' must be a mapping")
     mappings = []
-    for key, spec in (doc.get("metric_mappings") or {}).items():
+    for key, spec in raw_mappings.items():
         spec = spec or {}
+        if not isinstance(spec, dict):
+            raise ValueError(
+                f"metric_mappings[{key!r}] must be a mapping, got {type(spec).__name__}"
+            )
         mappings.append(
             MappingRule(
                 key=str(key),
@@ -46,9 +58,7 @@ def parse_config(text: str) -> EngineConfig:
         )
     return EngineConfig(
         metric_prefix=doc.get("metric_prefix") or "gemfire",
-        label_mappings={
-            str(k): str(v) for k, v in (doc.get("label_mappings") or {}).items()
-        },
+        label_mappings={str(k): str(v) for k, v in raw_labels.items()},
         metric_mappings=mappings,
         include_resource_types=list(filters.get("include_resource_types") or []),
         exclude_resource_types=list(filters.get("exclude_resource_types") or []),

@@ -282,38 +282,42 @@ def cosine_dup_pairs_lsh(
     Probabilistic -> rows-only driver check + pytest recall floor."""
     r = planes // bands
     sig_bits = lsh_signature(F.col(vec), planes, dim)
-    corpus = df.select("vec_id", vec).withColumn("_sig", sig_bits)
-    banded = corpus.select(
-        "vec_id",
-        vec,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band"),
-                        F.shiftright(F.col("_sig"), bnd * r)
-                        .bitwiseAND(F.lit((1 << r) - 1))
-                        .alias("key"),
-                    )
-                    for bnd in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("vec_id", vec, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = banded.select(
-        F.col("band"), F.col("key"),
-        F.col("vec_id").alias("vec_id_a"), F.col(vec).alias("_va"),
+    # band rows carry IDS ONLY: the banded self-join + dedup shuffles
+    # (band, key, id) rows, never the vectors — payloads re-attach by key
+    # join after the candidate set is deduped (the candidate-local pattern,
+    # same as dedup.candidate_jaccard)
+    banded = (
+        df.select("vec_id", vec)
+        .withColumn("_sig", sig_bits)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bnd).alias("band"),
+                            F.shiftright(F.col("_sig"), bnd * r)
+                            .bitwiseAND(F.lit((1 << r) - 1))
+                            .alias("key"),
+                        )
+                        for bnd in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     )
-    b = banded.select(
-        F.col("band"), F.col("key"),
-        F.col("vec_id").alias("vec_id_b"), F.col(vec).alias("_vb"),
-    )
-    cands = (
+    a = banded.select("band", "key", F.col("vec_id").alias("vec_id_a"))
+    b = banded.select("band", "key", F.col("vec_id").alias("vec_id_b"))
+    cand_ids = (
         a.join(b, ["band", "key"])
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b", "_va", "_vb")
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
+        .select("vec_id_a", "vec_id_b")
+        .distinct()
     )
+    va = df.select(F.col("vec_id").alias("vec_id_a"), F.col(vec).alias("_va"))
+    vb = df.select(F.col("vec_id").alias("vec_id_b"), F.col(vec).alias("_vb"))
+    cands = cand_ids.join(va, "vec_id_a").join(vb, "vec_id_b")
     dot = _sumlong(_dot_terms(F.col("_va"), F.col("_vb")))
     na = _sumlong(_dot_terms(F.col("_va"), F.col("_va")))
     nb = _sumlong(_dot_terms(F.col("_vb"), F.col("_vb")))

@@ -483,12 +483,14 @@ WITH pathed AS (
 ), labeled AS (
     SELECT regexp_extract(_path, '.*/([^/]+)/stats/[^/]*$', 1) AS node,
            regexp_extract(_path, '.*/([^/]+)/[^/]+/stats/[^/]*$', 1) AS cluster,
-           value
+           _path, value
     FROM pathed
 )
 SELECT cluster, node,
-       CASE WHEN contains(lower(node || '/' || cluster), 'locator') THEN 'locator'
-            WHEN contains(lower(node || '/' || cluster), 'gateway') THEN 'gateway'
+       -- the reference checks node name AND full path (processor.go:200-217)
+       CASE WHEN contains(lower(node || '/' || _path), 'locator') THEN 'locator'
+            WHEN contains(lower(node || '/' || _path), 'gateway') THEN 'gateway'
+            WHEN contains(lower(node || '/' || _path), 'server') THEN 'server'
             ELSE 'server' END AS node_type,
        CASE WHEN contains(lower(cluster), 'prod') THEN 'production'
             WHEN contains(lower(cluster), 'stag') THEN 'staging'

@@ -43,9 +43,10 @@ def reject_reason(
     the pipeline counts each reason per partition into the `rejects` table
     so input = written + rejected always reconciles."""
     v = F.col(value)
+    s = F.col(series_col)
     return (
         F.when(v.isNull() | ~valid_value(v), F.lit("value_sanity"))
-        .when(~valid_instance(F.col(series_col)), F.lit("invalid_series"))
+        .when(s.isNull() | ~valid_instance(s), F.lit("invalid_series"))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -158,6 +159,17 @@ def run_from_samples(
     _commit(spark, out, job_id, "chunks", ch, t0)
     written["chunks"] = ch.count()
 
+    # a day whose rows were ALL rejected produces no chunk partition; mark
+    # it complete anyway (rows=0) or resume would reprocess it forever
+    done_now = checkpoint.completed_parts(spark, out, "chunks")
+    empty_days = [d for d in todo if d not in done_now]
+    if empty_days:
+        checkpoint.append_lineage(
+            spark, out, job_id, "chunks",
+            [(d, 0, 0) for d in empty_days],
+            int((time.monotonic() - t0) * 1000),
+        )
+
     t5.unpersist()
     tagged.unpersist()
     return written
@@ -172,9 +184,11 @@ def _commit(
     t0: float,
 ) -> None:
     checkpoint.write_partitioned(df, out, table)
-    stats = checkpoint.partition_stats(
-        spark.read.parquet(os.path.join(out, table))
-    )
+    path = os.path.join(out, table)
+    try:
+        stats = checkpoint.partition_stats(spark.read.parquet(path))
+    except Exception:  # all rows rejected: dir absent or _SUCCESS-only
+        stats = []
     checkpoint.append_lineage(
         spark, out, job_id, table, stats, int((time.monotonic() - t0) * 1000)
     )

@@ -117,3 +117,24 @@ def test_rejected_row_counters_reconcile(spark, tmp_path):
     # lineage carries the rejects commit
     lin = checkpoint.read_lineage(spark, out)
     assert lin.filter(F.col("table") == "rejects").count() >= 1
+
+
+def test_all_rejected_day_converges(spark, tmp_path):
+    """A day whose rows are ALL rejected must still be marked complete
+    (rows=0 lineage) so resume converges instead of reprocessing forever."""
+    out = str(tmp_path / "tsdb")
+    bad = spark.createDataFrame(
+        [(None, 1_700_000_000_000, 1.0), ("s", 1_700_000_060_000, float("nan"))],
+        "series_key string, ts_ms long, value double",
+    ).select(
+        "series_key",
+        F.timestamp_millis("ts_ms").alias("ts"),
+        "value",
+        F.date_format(F.timestamp_millis("ts_ms"), "yyyy-MM-dd").alias("part"),
+    )
+    w1 = pipeline.run_from_samples(spark, out, bad, job_id="allrej")
+    assert w1["rejected"] == 2 and w1["chunks"] == 0
+    rej = spark.read.parquet(os.path.join(out, "rejects"))
+    assert {r["reason"] for r in rej.collect()} == {"value_sanity", "invalid_series"}
+    w2 = pipeline.run_from_samples(spark, out, bad, job_id="allrej")
+    assert w2 == {}
