@@ -84,8 +84,14 @@ def jaccard_pairs(
         )
     # the shingle index feeds three consumers (both join sides + sizes);
     # materialize it once instead of re-running the explode per consumer —
-    # at cluster scale this is the standard temp-table shingle index
-    sh = sh.localCheckpoint(eager=False)
+    # at cluster scale this is the standard temp-table shingle index.
+    # Join on the 8-byte xxhash64 of the shingle, not the ~40-byte string:
+    # set sizes and intersection counts are hash-collision-exact up to
+    # 2^-64 per pair (the universal near-dup trade), and shuffle volume +
+    # key compares drop ~5x.
+    sh = sh.select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -194,7 +200,10 @@ def candidate_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
     from one tiny agg. Every join is a key equi-join on doc ids / (doc id,
     shingle) — shuffles scale with the candidate set, not the corpus square.
     """
-    sh = sh.localCheckpoint(eager=False)  # three consumers, one compute
+    # hash the join key (see jaccard_pairs) + one compute for 3 consumers
+    sh = sh.select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
