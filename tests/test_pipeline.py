@@ -138,3 +138,54 @@ def test_all_rejected_day_converges(spark, tmp_path):
     assert {r["reason"] for r in rej.collect()} == {"value_sanity", "invalid_series"}
     w2 = pipeline.run_from_samples(spark, out, bad, job_id="allrej")
     assert w2 == {}
+
+
+def test_convert_job_end_to_end(spark, tmp_path):
+    """jobs/convert.py: wire archives -> decode -> YAML config remap
+    (rename+labels / drop / include) -> resumable tiers."""
+    from jobs import convert as convert_job
+
+    arch_dir = str(tmp_path / "archives")
+    out = str(tmp_path / "tsdb")
+    rows = []
+    for key in ("CachePerfStats.puts", "CachePerfStats.debugMetric",
+                "VMStats.cpu", "SecretStats.hidden"):
+        rows += [(key, 1_700_000_000_000 + i * 60_000, (i + 1) * 1_000_000)
+                 for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "series_key string, ts_ms long, value_long long"
+    )
+    from gfs_to_prometheus_spark.sources import gfs_binary
+
+    gfs_binary.encode_archive(df).write.mode("overwrite").parquet(arch_dir)
+
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        """
+filters:
+  include_resource_types: [CachePerfStats, VMStats]
+metric_mappings:
+  "CachePerfStats.puts":
+    name: cache_operations_total
+    labels: {operation: put}
+  "CachePerfStats.debugMetric":
+    drop: true
+label_mappings: {env: prod}
+"""
+    )
+    written = convert_job.convert(
+        spark, arch_dir, out, config_path=str(cfg), job_id="cvt"
+    )
+    assert written["rollup_5m"] > 0
+    keys = {
+        r["series_key"]
+        for r in spark.read.parquet(os.path.join(out, "rollup_5m"))
+        .select("series_key").distinct().collect()
+    }
+    assert keys == {
+        "cache_operations_total{env=prod,operation=put}",
+        "gemfire_vmstats_cpu{env=prod}",
+    }  # debugMetric dropped, SecretStats excluded
+    assert convert_job.convert(
+        spark, arch_dir, out, config_path=str(cfg), job_id="cvt"
+    ) == {}  # resumable no-op
