@@ -141,3 +141,26 @@ class Engine:
         )
         fn = gapfill.locf if method == "locf" else gapfill.linear
         return fn(samples, step_s, series=self.series)
+
+
+def select_series(
+    df, matchers: dict[str, str], key: str = "series_key"
+):
+    """PromQL-style vector selection over 'metric{k=v,...}' series keys:
+    matchers = {"__name__": "exact", "label": "=~regex"} — values starting
+    with '=~' are anchored regexes, anything else exact. Pure column
+    predicates (scan-filterable, no shuffle)."""
+    from .naming import series_label, series_metric
+
+    out = df
+    for label, want in matchers.items():
+        col = (
+            series_metric(F.col(key))
+            if label == "__name__"
+            else series_label(F.col(key), label)
+        )
+        if want.startswith("=~"):
+            out = out.filter(col.rlike("^(" + want[2:] + ")$"))
+        else:
+            out = out.filter(col == want)
+    return out

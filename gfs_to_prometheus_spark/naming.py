@@ -82,3 +82,19 @@ def node_from_path(path: Column | str, pattern: str = r".*/([^/]+)/stats/[^/]*$"
     (processor.go:171-198). Use with input_file_name() on file sources."""
     c = F.col(path) if isinstance(path, str) else path
     return F.regexp_extract(c, pattern, 1)
+
+
+def series_metric(key: Column | str) -> Column:
+    """metric name from a 'metric{k=v,...}' series key (P1 inverse)."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.regexp_extract(c, r"^([^{]+)", 1)
+
+
+def series_label(key: Column | str, label: str) -> Column:
+    """One label's value from a 'metric{k=v,...}' series key ('' if absent).
+
+    Same regex in ANSI SQL (the oracle mirrors it), so label selection is
+    a plain column expression the scan can filter on — the PromQL
+    {label="v"} / {label=~"re"} matchers become rlike/eq over this."""
+    c = F.col(key) if isinstance(key, str) else key
+    return F.regexp_extract(c, r"[{,]" + label + r"=([^,}]+)", 1)

@@ -381,6 +381,52 @@ def gfs_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "label_matcher_select",
+    """
+WITH keyed AS (
+    SELECT 'requests{env=prod,type=' || event_type || '}' AS series_key,
+           value
+    FROM events
+), sel AS (
+    SELECT regexp_extract(series_key, '^([^{]+)', 1) AS metric,
+           regexp_extract(series_key, '[{,]type=([^,}]+)', 1) AS type,
+           regexp_extract(series_key, '[{,]env=([^,}]+)', 1) AS env,
+           value
+    FROM keyed
+)
+SELECT metric, type, count(*) AS n,
+       CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_micro
+FROM sel
+WHERE regexp_full_match(type, 'click|error') AND env = 'prod'
+GROUP BY 1, 2
+""",
+)
+def label_matcher_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style selection requests{env="prod", type=~"click|error"}
+    over 'metric{k=v,...}' series keys (api.select_series): matcher
+    predicates are plain column regexes the scan filters on; the oracle
+    mirrors the same regex extraction in SQL."""
+    from .api import select_series
+    from .naming import series_label, series_metric
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "series_key",
+        F.concat(
+            F.lit("requests{env=prod,type="), F.col("event_type"), F.lit("}")
+        ),
+    )
+    sel = select_series(ev, {"env": "prod", "type": "=~click|error"})
+    return sel.groupBy(
+        series_metric(F.col("series_key")).alias("metric"),
+        series_label(F.col("series_key"), "type").alias("type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micro("value")).alias("sum_micro"),
+    )
+
+
+@query(
     "ts_token_roundtrip",
     """
 SELECT event_type, epoch_ms(ts) AS ts_ms, count(*) AS n
