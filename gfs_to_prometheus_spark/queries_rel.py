@@ -380,6 +380,91 @@ def gfs_archive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gfs_binary.decode_archive(gfs_binary.encode_archive(ev))
 
 
+def _histogram_quantile_sql(q: float, les) -> str:
+    """SQL mirror of histogram.histogram_quantile's fixed expression."""
+    rank = f"(CAST({q} AS DOUBLE) * CAST(total AS DOUBLE))"
+    cases = []
+    for k, le in enumerate(les):
+        lo = 0.0 if k == 0 else float(les[k - 1])
+        c_prev = "CAST(0 AS BIGINT)" if k == 0 else f"c{k-1}"
+        interp = (
+            f"CAST({lo} AS DOUBLE) + (CAST({float(le)} AS DOUBLE) - CAST({lo} AS DOUBLE)) * "
+            f"(({rank} - CAST({c_prev} AS DOUBLE)) / CAST(c{k} - {c_prev} AS DOUBLE))"
+        )
+        cases.append(f"WHEN CAST(c{k} AS DOUBLE) >= {rank} THEN {interp}")
+    sums = ", ".join(
+        f"sum(CASE WHEN value <= CAST({float(le)} AS DOUBLE) THEN 1 ELSE 0 END) AS c{k}"
+        for k, le in enumerate(les)
+    )
+    return f"""
+WITH b AS (
+    SELECT event_type, {sums}, count(*) AS total
+    FROM events GROUP BY 1
+)
+SELECT event_type,
+       CASE {' '.join(cases)} ELSE CAST({float(les[-1])} AS DOUBLE) END AS quantile
+FROM b
+"""
+
+
+@query(
+    "histogram_quantile_p90",
+    _histogram_quantile_sql(0.9, (10.0, 25.0, 50.0, 100.0, 250.0, 500.0)),
+)
+def histogram_quantile_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_quantile(0.9, ...) over le-buckets: the one-pass,
+    fixed-memory quantile (vs the exact per-group-sort p95 in A8) — the
+    at-scale estimator Prometheus itself serves."""
+    from .histogram import histogram_quantile
+
+    ev = load(spark, sf_dir, "events")
+    return histogram_quantile(ev, 0.9)
+
+
+@query(
+    "changes_5m",
+    """
+WITH lagged AS (
+    SELECT event_type, ts, value,
+           lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+    FROM events
+)
+SELECT event_type, (epoch_ms(ts) // 300000) * 300000 AS bucket_ms,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS changes
+FROM lagged GROUP BY 1, 2
+""",
+)
+def changes_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL changes(m[5m]): value-change count per series bucket."""
+    from .rate import changes
+
+    ev = load(spark, sf_dir, "events")
+    return changes(ev, 300)
+
+
+@query(
+    "delta_1h",
+    """
+WITH per_ts AS (
+    SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, ts,
+           max(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS v
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, bucket_ms,
+       CAST(arg_max(v, ts) - arg_min(v, ts) AS BIGINT) AS delta_micro
+FROM per_ts GROUP BY 1, 2
+""",
+)
+def delta_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL delta(m[1h]) for gauges: last - first per series bucket,
+    exact (scaled-int64 transport)."""
+    from .rate import gauge_delta
+
+    ev = load(spark, sf_dir, "events")
+    return gauge_delta(ev, 3600)
+
+
 @query(
     "label_matcher_select",
     """

@@ -59,3 +59,46 @@ def rate(
     return inc.withColumn(
         "rate", (F.col("increase").cast("double") / F.lit(float(step_s)))
     )
+
+
+def changes(
+    df: DataFrame,
+    step_s: int,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL changes(): number of value CHANGES per (series, bucket) —
+    lag window per series, then the same one-shuffle bucket agg as
+    increase(). First sample of a series is not a change."""
+    w = W.partitionBy(*series).orderBy(ts)
+    d = df.withColumn("_prev", F.lag(value).over(w))
+    is_change = (
+        F.col("_prev").isNotNull() & (F.col(value) != F.col("_prev"))
+    ).cast("long")
+    return (
+        d.groupBy(*series, bucket_ms(ts, step_s).alias("bucket_ms"))
+        .agg(F.sum(is_change).alias("changes"))
+    )
+
+
+def gauge_delta(
+    df: DataFrame,
+    step_s: int,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL delta() for gauges: last - first observed value per
+    (series, bucket), exact (no extrapolation), scaled-int64 transport so
+    the subtraction is order-independent and oracle-exact."""
+    from .timeutil import micro
+
+    # dedupe ts ties first (max value wins) so max_by/min_by keys are
+    # unique -> deterministic across engines
+    per_ts = df.groupBy(
+        *series, bucket_ms(ts, step_s).alias("bucket_ms"), F.col(ts).alias("_t")
+    ).agg(F.max(micro(value)).alias("_v"))
+    return per_ts.groupBy(*series, "bucket_ms").agg(
+        (F.max_by("_v", "_t") - F.min_by("_v", "_t")).alias("delta_micro")
+    )

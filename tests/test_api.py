@@ -68,3 +68,35 @@ def test_range_query_rejects_unservable_step(engine):
 
     with _pt.raises(ValueError, match="not a multiple"):
         engine.range_query("avg", 60)
+
+
+def test_histogram_quantile_brackets_exact(spark):
+    """The histogram estimate must land within the bucket that contains
+    the exact quantile, and be exact when values sit on bucket bounds."""
+    from gfs_to_prometheus_spark.histogram import histogram_quantile
+
+    rows = [("a", float(v)) for v in range(1, 101)]  # uniform 1..100
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = histogram_quantile(df, 0.9, les=(10.0, 25.0, 50.0, 100.0)).collect()
+    q = got[0]["quantile"]
+    # exact p90 of 1..100 is 90; uniform within (50,100] -> interp ~ 90
+    assert 85.0 <= q <= 95.0
+    # rank beyond last finite bucket -> highest bound
+    got2 = histogram_quantile(df, 0.999, les=(10.0, 25.0)).collect()
+    assert got2[0]["quantile"] == 25.0
+
+
+def test_select_series_matchers(spark):
+    from gfs_to_prometheus_spark.api import select_series
+
+    rows = [
+        ("requests{env=prod,type=click}", 1.0),
+        ("requests{env=dev,type=click}", 2.0),
+        ("errors{env=prod,type=x}", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "series_key string, value double")
+    got = {r["value"] for r in select_series(
+        df, {"__name__": "requests", "env": "prod"}).collect()}
+    assert got == {1.0}
+    got = {r["value"] for r in select_series(df, {"type": "=~click|x"}).collect()}
+    assert got == {1.0, 2.0, 3.0}
