@@ -422,6 +422,60 @@ def histogram_quantile_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "resets_1h",
+    """
+WITH lagged AS (
+    SELECT event_type, ts, value,
+           lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev
+    FROM events
+)
+SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev
+                     THEN 1 ELSE 0 END) AS BIGINT) AS resets
+FROM lagged GROUP BY 1, 2
+""",
+)
+def resets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL resets(m[1h]): counter-decrease count per series bucket."""
+    from .timeutil import bucket_ms
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts")
+    d = ev.withColumn("_prev", F.lag("value").over(w))
+    is_reset = (
+        F.col("_prev").isNotNull() & (F.col("value") < F.col("_prev"))
+    ).cast("long")
+    return d.groupBy(
+        "event_type", bucket_ms("ts", 3600).alias("bucket_ms")
+    ).agg(F.sum(is_reset).alias("resets"))
+
+
+@query(
+    "avg_over_time_1h",
+    """
+SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+       CAST(CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_micro
+FROM events GROUP BY 1, 2
+""",
+)
+def avg_over_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL avg_over_time(m[1h]): order-independent int64-micro sum,
+    one double division at the end."""
+    from .timeutil import bucket_ms
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", bucket_ms("ts", 3600).alias("bucket_ms")
+    ).agg(
+        (
+            F.sum(micro("value")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_micro")
+    )
+
+
+@query(
     "changes_5m",
     """
 WITH lagged AS (
