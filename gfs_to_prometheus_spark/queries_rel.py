@@ -422,6 +422,68 @@ def histogram_quantile_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "deriv_1h",
+    """
+WITH pts AS (
+    SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+           epoch_ms(ts) - (epoch_ms(ts) // 3600000) * 3600000 AS x,
+           CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS y
+    FROM events
+), agg AS (
+    SELECT event_type, bucket_ms, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM pts GROUP BY 1, 2
+)
+SELECT event_type, bucket_ms,
+       CASE WHEN n < 2
+                 OR CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+            THEN NULL
+            ELSE CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                      AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                        AS DOUBLE)
+                 * CAST(1000.0 AS DOUBLE)
+       END AS deriv_micro_per_s
+FROM agg
+""",
+)
+def deriv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv(m[1h]): least-squares slope per series bucket. All
+    moments are exact integers (x centered on the bucket start so the
+    products fit; the cross-moment combination runs in 38-digit decimals
+    = DuckDB's HUGEINT), with ONE double division at the end — bit-exact
+    across engines, order-independent."""
+    from .timeutil import bucket_ms, epoch_ms
+
+    ev = load(spark, sf_dir, "events")
+    b = bucket_ms("ts", 3600)
+    pts = ev.select(
+        "event_type",
+        b.alias("bucket_ms"),
+        (epoch_ms("ts") - b).alias("x"),
+        micro("value").alias("y"),
+    )
+    agg = pts.groupBy("event_type", "bucket_ms").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    den = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    deriv = (
+        F.when((F.col("n") < 2) | (den == F.lit(0).cast("decimal(38,0)")), F.lit(None))
+        .otherwise(num.cast("double") / den.cast("double") * F.lit(1000.0))
+    )
+    return agg.select(
+        "event_type", "bucket_ms", deriv.alias("deriv_micro_per_s")
+    )
+
+
+@query(
     "resets_1h",
     """
 WITH lagged AS (
