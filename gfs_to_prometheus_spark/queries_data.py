@@ -254,6 +254,75 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.components(pairs)
 
 
+_SURVIVORS_SQL = """
+WITH RECURSIVE keep1 AS (
+    SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents
+    ) WHERE doc_id = keeper
+), toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM keep1
+), sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, trim(text) AS shingle FROM toks WHERE len(w) < 3
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), jp AS (
+    SELECT doc_a, doc_b FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(common AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE)
+          >= 0.5
+), edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM jp
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM jp
+), reach(doc, lab) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc
+), comp AS (
+    SELECT doc AS doc_id, min(lab) AS component FROM reach GROUP BY 1
+)
+SELECT k.doc_id FROM keep1 k
+LEFT JOIN comp c ON c.doc_id = k.doc_id
+WHERE c.component IS NULL OR c.component = k.doc_id
+"""
+
+
+@query("dedup_survivors", _SURVIVORS_SQL)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: exact dedup (keep min doc per md5 group),
+    then near-dup clustering at jaccard>=0.5 over the survivors, keeping
+    one representative per component — the document set a training run
+    would actually consume."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    keepers = dedup.exact_dups(docs)
+    d1 = (
+        docs.withColumn("_md5", F.md5("text"))
+        .join(keepers, F.col("_md5") == F.col("text_md5"))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text")
+    )
+    comp = dedup.components(dedup.jaccard_pairs(d1, threshold=0.5))
+    return (
+        d1.join(comp, "doc_id", "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
 @query("minhash_lsh_dups")  # probabilistic banding -> rows-only check
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified to exact jaccard>=0.05.
