@@ -827,5 +827,8 @@ def ts_token_decode(buf: bytes, n: int) -> np.ndarray:
         d[np.searchsorted(pos_all, p)] = u
     out = np.empty(n, dtype=np.int64)
     out[0] = t0
-    out[1:] = t0 + np.cumsum(d[: n - 1])
+    deltas = np.zeros(n - 1, dtype=np.int64)
+    k = min(len(d), n - 1)
+    deltas[:k] = d[:k]  # truncated tail -> remaining ts repeat the last
+    out[1:] = t0 + np.cumsum(deltas)
     return out

@@ -43,6 +43,8 @@ def histogram_quantile(
     value: str = "value",
 ) -> DataFrame:
     """Per-series q-quantile estimate from the cumulative buckets."""
+    if not 0.0 < q <= 1.0:
+        raise ValueError(f"q must be in (0, 1], got {q}")  # q=0 would be 0/0
     b = histogram_buckets(df, les, series, value)
     rank = F.lit(float(q)) * F.col("total").cast("double")
     expr = F.lit(float(les[-1]))  # beyond the last finite bucket

@@ -95,6 +95,10 @@ def series_label(key: Column | str, label: str) -> Column:
 
     Same regex in ANSI SQL (the oracle mirrors it), so label selection is
     a plain column expression the scan can filter on — the PromQL
-    {label="v"} / {label=~"re"} matchers become rlike/eq over this."""
+    {label="v"} / {label=~"re"} matchers become rlike/eq over this.
+    The label name is regex-escaped (a label like 'node.type' must not
+    match arbitrary characters)."""
+    import re
+
     c = F.col(key) if isinstance(key, str) else key
-    return F.regexp_extract(c, r"[{,]" + label + r"=([^,}]+)", 1)
+    return F.regexp_extract(c, r"[{,]" + re.escape(label) + r"=([^,}]+)", 1)

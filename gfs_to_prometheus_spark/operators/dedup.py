@@ -13,9 +13,10 @@
   the low 60 bits (bigint-safe in every engine). Hamming-ball pairs via
   band join.
 
-Shingle hashing uses md5 (not xxhash64) wherever an oracle must
-reproduce the value; xxhash64 only where Spark-side speed matters and
-no oracle applies (minhash perms).
+Oracle-reproducible hashes use md5 (simhash token hashes); shingle JOIN
+KEYS use xxhash64 int64 (8B vs ~40B shuffle keys) — the oracle joins on
+the strings, equal modulo the universal 2^-64 collision trade (fixtures
+verified collision-free).
 """
 
 from __future__ import annotations

@@ -314,6 +314,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(keepers, F.col("_md5") == F.col("text_md5"))
         .filter(F.col("doc_id") == F.col("keeper"))
         .select("doc_id", "text")
+        .localCheckpoint(eager=False)  # two consumers: pairs + final join
     )
     comp = dedup.components(dedup.jaccard_pairs(d1, threshold=0.5))
     return (

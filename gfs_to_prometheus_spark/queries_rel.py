@@ -486,10 +486,12 @@ def deriv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "resets_1h",
     """
-WITH lagged AS (
+WITH dedup AS (
+    SELECT event_type, ts, max(value) AS value FROM events GROUP BY 1, 2
+), lagged AS (
     SELECT event_type, ts, value,
            lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev
-    FROM events
+    FROM dedup
 )
 SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
        CAST(sum(CASE WHEN prev IS NOT NULL AND value < prev
@@ -499,17 +501,9 @@ FROM lagged GROUP BY 1, 2
 )
 def resets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL resets(m[1h]): counter-decrease count per series bucket."""
-    from .timeutil import bucket_ms
+    from .rate import resets
 
-    ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("event_type").orderBy("ts")
-    d = ev.withColumn("_prev", F.lag("value").over(w))
-    is_reset = (
-        F.col("_prev").isNotNull() & (F.col("value") < F.col("_prev"))
-    ).cast("long")
-    return d.groupBy(
-        "event_type", bucket_ms("ts", 3600).alias("bucket_ms")
-    ).agg(F.sum(is_reset).alias("resets"))
+    return resets(load(spark, sf_dir, "events"), 3600)
 
 
 @query(
@@ -540,10 +534,12 @@ def avg_over_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "changes_5m",
     """
-WITH lagged AS (
+WITH dedup AS (
+    SELECT event_type, ts, max(value) AS value FROM events GROUP BY 1, 2
+), lagged AS (
     SELECT event_type, ts, value,
            lag(value) OVER (PARTITION BY event_type ORDER BY ts) AS prev
-    FROM events
+    FROM dedup
 )
 SELECT event_type, (epoch_ms(ts) // 300000) * 300000 AS bucket_ms,
        CAST(sum(CASE WHEN prev IS NOT NULL AND value <> prev
@@ -737,7 +733,6 @@ SELECT cluster, node,
        -- the reference checks node name AND full path (processor.go:200-217)
        CASE WHEN contains(lower(node || '/' || _path), 'locator') THEN 'locator'
             WHEN contains(lower(node || '/' || _path), 'gateway') THEN 'gateway'
-            WHEN contains(lower(node || '/' || _path), 'server') THEN 'server'
             ELSE 'server' END AS node_type,
        CASE WHEN contains(lower(cluster), 'prod') THEN 'production'
             WHEN contains(lower(cluster), 'stag') THEN 'staging'

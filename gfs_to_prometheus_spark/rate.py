@@ -61,6 +61,28 @@ def rate(
     )
 
 
+def _dedup_ts(df, series, ts, value):
+    """Collapse (series, ts) ties to max(value) so every lag window below
+    has a deterministic order — the same guard gauge_delta uses; a no-op
+    when timestamps are unique per series."""
+    return df.groupBy(*series, F.col(ts).alias(ts)).agg(
+        F.max(value).alias(value)
+    )
+
+
+def _lag_count(df, pred_fn, out_name, step_s, series, ts, value):
+    d = _dedup_ts(df, series, ts, value).withColumn(
+        "_prev", F.lag(value).over(W.partitionBy(*series).orderBy(ts))
+    )
+    flag = (F.col("_prev").isNotNull() & pred_fn(F.col(value), F.col("_prev"))).cast(
+        "long"
+    )
+    return (
+        d.groupBy(*series, bucket_ms(ts, step_s).alias("bucket_ms"))
+        .agg(F.sum(flag).alias(out_name))
+    )
+
+
 def changes(
     df: DataFrame,
     step_s: int,
@@ -69,17 +91,20 @@ def changes(
     value: str = "value",
 ) -> DataFrame:
     """PromQL changes(): number of value CHANGES per (series, bucket) —
-    lag window per series, then the same one-shuffle bucket agg as
-    increase(). First sample of a series is not a change."""
-    w = W.partitionBy(*series).orderBy(ts)
-    d = df.withColumn("_prev", F.lag(value).over(w))
-    is_change = (
-        F.col("_prev").isNotNull() & (F.col(value) != F.col("_prev"))
-    ).cast("long")
-    return (
-        d.groupBy(*series, bucket_ms(ts, step_s).alias("bucket_ms"))
-        .agg(F.sum(is_change).alias("changes"))
-    )
+    ts-tie dedup, lag window per series, then the same one-shuffle bucket
+    agg as increase(). First sample of a series is not a change."""
+    return _lag_count(df, lambda v, p: v != p, "changes", step_s, series, ts, value)
+
+
+def resets(
+    df: DataFrame,
+    step_s: int,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL resets(): counter-decrease count per (series, bucket)."""
+    return _lag_count(df, lambda v, p: v < p, "resets", step_s, series, ts, value)
 
 
 def gauge_delta(

@@ -11,6 +11,12 @@ sample streams, optionally applies the YAML metric-mapping config
 (rename / labels / drop / include / exclude) when the series key carries
 a "ResourceType.statName" shape, and runs the resumable tier+chunk
 pipeline into --out.
+
+Value semantics: samples are float64 gauges — the same storage type the
+reference writes to Prometheus (TSDB samples are float64). value_long is
+micro-scaled on the wire; the /1e6 conversion is exact for
+|value_long| < 2^52 (values below ~4.5e9); beyond that, precision follows
+float64 like any Prometheus ingestion would.
 """
 
 from __future__ import annotations

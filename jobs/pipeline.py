@@ -24,6 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gfs_to_prometheus_spark import checkpoint, chunks, synth
@@ -187,7 +188,7 @@ def _commit(
     path = os.path.join(out, table)
     try:
         stats = checkpoint.partition_stats(spark.read.parquet(path))
-    except Exception:  # all rows rejected: dir absent or _SUCCESS-only
+    except AnalysisException:  # all rows rejected: dir absent/_SUCCESS-only
         stats = []
     checkpoint.append_lineage(
         spark, out, job_id, table, stats, int((time.monotonic() - t0) * 1000)
