@@ -4,11 +4,13 @@
 * n-gram Jaccard: word n-gram shingle sets, shingle-equi-join to count
   intersections, exact Jaccard filter. Exact (oracle-checkable); the
   shingle join is the quadratic-in-duplicates baseline.
-* MinHash + LSH:  k permutations via xxhash64(perm, shingle) -> min;
-  band signatures -> bucket equi-join -> candidates -> exact-Jaccard
+* MinHash + LSH:  k universal-hash permutations h_p(x) = (a_p*x+b_p)
+  mod (2^31-1) over the md5-derived 31-bit shingle hash -> min; band
+  signatures -> bucket equi-join -> candidates -> exact-Jaccard
   verify. The scale path: cost is (docs x k) + candidate pairs, never
-  all-pairs. Probabilistic (banding), so its queries() entry is
-  rows-only rather than oracle-checked.
+  all-pairs. Banding is probabilistic in RECALL but fully
+  deterministic in VALUE (every constant is an md5-derived literal),
+  so the queries() entry carries a full DuckDB oracle.
 * SimHash:    64-bit sign-vector of md5-derived token hashes; stored as
   the low 60 bits (bigint-safe in every engine). Hamming-ball pairs via
   band join.
@@ -23,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .hashing import MERSENNE31, MOD31, md5_lower64, minhash_coeffs
 from .text import ws_tokens
 
 
@@ -122,12 +125,22 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, k: int = 32, text: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, sig: array<bigint> length k) — min over xxhash64(perm, shingle)."""
+    """(doc_id, sig: array<bigint> length k) — min over the k universal
+    permutations h_p(s) = (a_p * h31(s) + b_p) mod (2^31-1), where
+    h31 = pmod(md5_lower64(shingle), 2^31). ONE md5 per shingle row; the
+    k permutations are literal-coefficient integer arithmetic (products
+    stay < 2^62, ANSI-overflow safe), and DuckDB reproduces every value
+    via md5_number_lower + the same literals."""
     sh = shingles(df, text, n)
-    perms = F.array(*[F.lit(i) for i in range(k)])
+    ab = minhash_coeffs(k)
+    a_arr = F.array(*[F.lit(a) for a, _ in ab])
+    b_arr = F.array(*[F.lit(b) for _, b in ab])
+    h31 = F.pmod(md5_lower64(F.col("shingle")), F.lit(MOD31))
     hashed = sh.select(
         "doc_id",
-        F.transform(perms, lambda p: F.xxhash64(p, F.col("shingle"))).alias("hs"),
+        F.zip_with(
+            a_arr, b_arr, lambda a, b: F.pmod(a * h31 + b, F.lit(MERSENNE31))
+        ).alias("hs"),
     )
     agg = hashed.groupBy("doc_id").agg(
         F.array_agg("hs").alias("all_hs")
@@ -239,10 +252,7 @@ def simhash(df: DataFrame, text: str = "text", bits: int = 60) -> DataFrame:
     ex = df.select(
         "doc_id", F.explode(ws_tokens(text)).alias("_tok")
     )  # explode the materialized array (splitting once per row)
-    h = F.md5(F.col("_tok"))
-    rev = F.concat(*[F.substring(h, 31 - 2 * j, 2) for j in range(8)])
-    tok_h = F.conv(rev, 16, -10).cast("long")
-    hashed = ex.select("doc_id", tok_h.alias("h"))
+    hashed = ex.select("doc_id", md5_lower64(F.col("_tok")).alias("h"))
     bit_sums = hashed.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -5,10 +5,12 @@ array<float>, label).
   scaled-int64 sum rule (queries.py) so results are order-independent
   and oracle-exact: term_i = floor(a_i*b_i*1e12 + 0.5) summed as bigint;
   cosine = dot / (sqrt(na)*sqrt(nb)) in double (sqrt is IEEE-exact).
-* LSH-bucketed ANN: deterministic random-hyperplane signatures (planes
-  derived from xxhash64, no RNG state), bucket equi-join, exact-cosine
+* LSH-bucketed ANN: deterministic random-hyperplane signatures (integer
+  plane weights are md5-derived plan-time literals, no RNG state; the
+  projection is a scaled-int64 sum), bucket equi-join, exact-cosine
   re-rank inside buckets. The 100 TB path: cost ~ docs x planes +
-  bucket-local pairs. Probabilistic -> rows-only check.
+  bucket-local pairs. Recall is probabilistic but every VALUE is
+  deterministic and SQL-reproducible -> full DuckDB oracles.
 
 At cluster scale the query side is a broadcast (one or few vectors);
 the corpus side stays partitioned — no shuffle of the big table for
@@ -19,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from .hashing import plane_weights
+
 SCALE = 1_000_000_000_000.0  # 1e12: float32 pairs scaled into int64 safely
 
 
@@ -26,6 +30,18 @@ def _dot_terms(a, b):
     return F.zip_with(
         a, b, lambda x, y: F.floor(x.cast("double") * y.cast("double") * SCALE + 0.5).cast("long")
     )
+
+
+def _d2_terms(a, b):
+    """Scaled-int64 squared-distance terms: floor((a-b)^2 * 1e12 + 0.5).
+    (a-b) and its square are single IEEE ops (deterministic per element);
+    the int64 sum is shuffle-order independent and DuckDB-reproducible,
+    so centroid argmins agree across engines including ties."""
+    def term(x, y):
+        d = x.cast("double") - y.cast("double")
+        return F.floor(d * d * SCALE + 0.5).cast("long")
+
+    return F.zip_with(a, b, term)
 
 
 def _sumlong(arr):
@@ -59,36 +75,25 @@ def cosine_topk(
     )
 
 
-def _plane_weight(p: int):
-    """Single-arg lambda factory: a two-parameter lambda (even with a bound
-    default) is treated by transform() as (element, index), which would
-    silently make every plane identical — the closure keeps arity 1."""
-
-    def w(d):
-        return (
-            F.pmod(F.xxhash64(F.lit(p), d), F.lit(2001)) - 1000
-        ).cast("double") / 1000.0
-
-    return w
-
-
 def lsh_signature(vec, planes: int = 16, dim: int = 64):
-    """Sign bits against deterministic pseudo-hyperplanes: plane p,
-    coordinate d has weight ((xxhash64(p, d) % 2001) - 1000) / 1000."""
-    bits = []
-    for p in range(planes):
-        w = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)), _plane_weight(p)
-        )
-        proj = F.aggregate(
-            F.zip_with(vec, w, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)))
+    """Sign bits against deterministic pseudo-hyperplanes: plane p has
+    md5-derived integer weights in [-1000, 1000] (hashing.plane_weights),
+    embedded as plan-time literals pre-scaled by 1e6. The projection is
+    the scaled-int64 sum (floor(x * w*1e6 + 0.5) summed as bigint), so
+    the bucket bits are shuffle-order independent AND bit-reproducible
+    by the DuckDB oracle — no per-row hash calls in the hot path."""
+    weights = plane_weights(planes, dim)
     sig = None
-    for i, b in enumerate(bits):
-        term = b.cast("long") * (2**i)
+    for p in range(planes):
+        w_arr = F.array(*[F.lit(float(w) * 1e6) for w in weights[p]])
+        proj = _sumlong(
+            F.zip_with(
+                vec, w_arr,
+                lambda x, w: F.floor(x.cast("double") * w + 0.5).cast("long"),
+            )
+        )
+        bit = F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit.cast("long") * (2**p)
         sig = term if sig is None else sig + term
     return sig
 
@@ -169,24 +174,35 @@ def ivf_index(
     cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) assignment against hash-sampled centroids (see
-    ivf_centroids). Returns the corpus + `_list` (nearest-centroid id)."""
+    ivf_centroids). Returns the corpus + `_list` (nearest-centroid id).
+
+    The centroid set is tiny (n_lists rows) and already driver-resident,
+    so assignment is a NARROW per-row argmin over a literal
+    array<struct<cid, cvec>> — zero joins, zero shuffles, no row
+    blow-up (the earlier crossJoin -> groupBy(vec_id) -> join-back plan
+    pushed an n_lists x row expansion through two corpus-scale
+    shuffles). Argmin = array_min over struct(d2, cid), d2 in the
+    scaled-int64 metric so assignment ties break identically in DuckDB."""
     if cents is None:
         cents = ivf_centroids(df, n_lists, vec)
-    # distance to each centroid; argmin via min(struct(dist, cid))
-    joined = df.crossJoin(F.broadcast(cents))
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec), F.col("_cvec"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cdata = [(r["_cid"], [float(x) for x in r["_cvec"]]) for r in cents.collect()]
+    cent_lit = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("_cid"),
+                F.array(*[F.lit(x) for x in cv]).alias("_cvec"),
+            )
+            for cid, cv in cdata
+        ]
     )
-    best = joined.groupBy("vec_id").agg(
-        F.min(F.struct(d2.alias("d2"), F.col("_cid"))).alias("_best")
-    ).select("vec_id", F.col("_best._cid").alias("_list"))
-    return df.join(best, "vec_id")
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            _sumlong(_d2_terms(F.col(vec), c["_cvec"])).alias("_d2"),
+            c["_cid"].alias("_cid"),
+        ),
+    )
+    return df.withColumn("_list", F.array_min(dists)["_cid"])
 
 
 def ivf_topk(
@@ -205,17 +221,10 @@ def ivf_topk(
     q = indexed.filter(F.col("vec_id") == query_vec_id).select(
         F.col(vec).alias("_qv")
     )
-    # rank the SAME centroid set by distance to the query (n_lists rows)
+    # rank the SAME centroid set by distance to the query (n_lists rows),
+    # in the scaled-int64 metric so probe choice matches the oracle
     qd = q.crossJoin(F.broadcast(cents))
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("_qv"), F.col("_cvec"),
-            lambda a, b: (a.cast("double") - b.cast("double"))
-            * (a.cast("double") - b.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    d2 = _sumlong(_d2_terms(F.col("_qv"), F.col("_cvec")))
     probe_lists = [
         r["_cid"]
         for r in qd.select(F.col("_cid"), d2.alias("_d2"))

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup, similarity, text
+from .operators.hashing import MERSENNE31, minhash_coeffs, plane_weights
 from .queries import load, query
 
 # ---------------------------------------------------------------------------
@@ -324,11 +325,66 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_dups")  # probabilistic banding -> rows-only check
+def _minhash_lsh_sql(k: int = 32, bands: int = 8, t: float = 0.05) -> str:
+    """Full DuckDB twin of minhash_lsh_candidates: md5-derived universal
+    permutations over the 31-bit shingle hash, min per permutation, band
+    collision = all r positions equal (GROUP BY band HAVING count = r),
+    exact-Jaccard verification on the candidate set."""
+    r = k // bands
+    coef_rows = ", ".join(
+        f"({p}, {a}, {b})" for p, (a, b) in enumerate(minhash_coeffs(k))
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, trim(text) AS shingle FROM toks WHERE len(w) < 3
+), hm AS (
+    SELECT doc_id, shingle,
+           CAST(md5_number_lower(shingle) AS HUGEINT) % 2147483648 AS h31
+    FROM sh
+), sig AS (
+    SELECT doc_id, p,
+           min(CAST((a * h31 + b) % {MERSENNE31} AS BIGINT)) AS mh
+    FROM hm CROSS JOIN (VALUES {coef_rows}) coef(p, a, b)
+    GROUP BY doc_id, p
+), band_hits AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b ON a.p = b.p AND a.mh = b.mh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.p // {r}
+    HAVING count(*) = {r}
+), cands AS (
+    SELECT DISTINCT doc_a, doc_b FROM band_hits
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), common AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS common
+    FROM cands c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE)
+           AS jaccard
+FROM common c
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b
+WHERE CAST(common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - common AS DOUBLE) >= {t}
+"""
+
+
+@query("minhash_lsh_dups", _minhash_lsh_sql())
 def minhash_lsh_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified to exact jaccard>=0.05.
-    Precision 1.0 by construction; recall is the LSH curve — hence no SQL
-    oracle (the driver records a rows-only check)."""
+    Recall follows the banding curve, but every VALUE is deterministic
+    (md5-derived literal coefficients), so the DuckDB oracle reproduces
+    the result bit-for-bit."""
     return dedup.minhash_lsh_candidates(
         load(spark, sf_dir, "documents"), k=32, bands=8, threshold=0.05
     )
@@ -393,6 +449,12 @@ def simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # ---------------------------------------------------------------------------
 
+_DOT = (
+    "CAST(list_aggregate(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(floor(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)"
+    "*1000000000000.0 + 0.5) AS BIGINT)), 'sum') AS DOUBLE)"
+)
+
 _COSINE_SQL = """
 WITH q AS (
     SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
@@ -419,19 +481,60 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0)
 
 
-@query("ann_lsh_topk")  # probabilistic bucketing -> rows-only check
+def _lsh_sig_sql(planes: int, dim: int = 64, col: str = "embedding") -> str:
+    """DuckDB twin of similarity.lsh_signature: per plane, the scaled-int64
+    projection against the md5-derived literal weights (pre-scaled 1e6),
+    bit = projection >= 0."""
+    weights = plane_weights(planes, dim)
+    terms = []
+    for p in range(planes):
+        wlist = "[" + ", ".join(f"{w * 1e6:.1f}" for w in weights[p]) + "]"
+        terms.append(
+            "CASE WHEN CAST(list_aggregate(list_transform(list_zip("
+            f"{col}, {wlist}), "
+            "x -> CAST(floor(CAST(x[1] AS DOUBLE) * x[2] + 0.5) AS BIGINT)), "
+            f"'sum') AS BIGINT) >= 0 THEN CAST({1 << p} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END"
+        )
+    return " + ".join(terms)
+
+
+def _ann_lsh_sql(planes: int = 6, k: int = 10) -> str:
+    probes = ", ".join(
+        ["qsig"] + [f"xor(qsig, {1 << i})" for i in range(planes)]
+    )
+    return f"""
+WITH sig AS (
+    SELECT vec_id, embedding, ({_lsh_sig_sql(planes)}) AS sig
+    FROM embeddings
+), q AS (
+    SELECT embedding AS qv, sig AS qsig FROM sig WHERE vec_id = 0
+), probes AS (
+    SELECT DISTINCT unnest([{probes}]) AS psig FROM q
+), cand AS (
+    SELECT s.vec_id, s.embedding
+    FROM sig s JOIN probes p ON s.sig = p.psig
+    WHERE s.vec_id <> 0
+)
+SELECT vec_id,
+       {_DOT.format(a='cand.embedding', b='q.qv')}
+       / ( sqrt({_DOT.format(a='cand.embedding', b='cand.embedding')})
+         * sqrt({_DOT.format(a='q.qv', b='q.qv')}) ) AS cosine
+FROM cand, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+@query("ann_lsh_topk", _ann_lsh_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH buckets + multi-probe + exact re-rank."""
+    """Random-hyperplane LSH buckets + multi-probe + exact re-rank.
+    Bucket bits are md5-derived literals + scaled-int64 projections, so
+    the DuckDB oracle reproduces candidates AND ranking exactly."""
     return similarity.ann_lsh_topk(
         load(spark, sf_dir, "embeddings"), query_vec_id=0
     )
 
-
-_DOT = (
-    "CAST(list_aggregate(list_transform(list_zip({a}, {b}), "
-    "p -> CAST(floor(CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)"
-    "*1000000000000.0 + 0.5) AS BIGINT)), 'sum') AS DOUBLE)"
-)
 
 _COSINE_DUPS_SQL = f"""
 SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
@@ -456,11 +559,41 @@ def embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embedding_dup_pairs_lsh")  # probabilistic banding -> rows-only
+def _embedding_lsh_sql(
+    planes: int = 12, bands: int = 6, t: float = 0.4
+) -> str:
+    r = planes // bands
+    return f"""
+WITH sig AS (
+    SELECT vec_id, ({_lsh_sig_sql(planes)}) AS sig FROM embeddings
+), banded AS (
+    SELECT vec_id, band, (sig >> (band * {r})) & {(1 << r) - 1} AS key
+    FROM sig, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b
+), cand AS (
+    SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.key = b.key
+                 AND a.vec_id < b.vec_id
+)
+SELECT vec_id_a, vec_id_b, cosine FROM (
+    SELECT c.vec_id_a, c.vec_id_b,
+           {_DOT.format(a='ea.embedding', b='eb.embedding')}
+           / ( sqrt({_DOT.format(a='ea.embedding', b='ea.embedding')})
+             * sqrt({_DOT.format(a='eb.embedding', b='eb.embedding')}) )
+               AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+) WHERE cosine >= CAST({t} AS DOUBLE)
+"""
+
+
+@query("embedding_dup_pairs_lsh", _embedding_lsh_sql())
 def embedding_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH near-dup (6 bands x 2 planes at this threshold),
-    exact-cosine verification on candidate pairs only. Precision 1.0 by
-    construction; recall is the banding curve -> rows-only + pytest."""
+    exact-cosine verification on candidate pairs only. Recall is the
+    banding curve, but buckets are md5-derived literals -> the DuckDB
+    oracle reproduces the exact pair set and cosines."""
     return similarity.cosine_dup_pairs_lsh(
         load(spark, sf_dir, "embeddings"), threshold=0.4
     )
@@ -516,9 +649,58 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_ann_topk")  # probabilistic (probed lists) -> rows-only check
+_D2 = (
+    "CAST(list_aggregate(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(floor((CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    "*1000000000000.0 + 0.5) AS BIGINT)), 'sum') AS BIGINT)"
+)
+
+
+def _ivf_sql(n_lists: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """DuckDB twin of similarity.ivf_topk: hash-sampled centroids (the
+    n_lists rows with smallest md5(vec_id)), scaled-int64 squared
+    distances, argmin assignment with (d2, cid) tie order, probe the
+    n_probe nearest lists, exact cosine inside them."""
+    return f"""
+WITH cents AS (
+    SELECT row_number() OVER (ORDER BY m, vec_id) AS cid, cvec FROM (
+        SELECT md5(CAST(vec_id AS VARCHAR)) AS m, vec_id, embedding AS cvec
+        FROM embeddings ORDER BY 1, 2 LIMIT {n_lists}
+    )
+), d AS (
+    SELECT e.vec_id, c.cid,
+           {_D2.format(a='e.embedding', b='c.cvec')} AS d2
+    FROM embeddings e CROSS JOIN cents c
+), assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d
+    ) WHERE rn = 1
+), probes AS (
+    SELECT cid FROM d WHERE vec_id = 0 ORDER BY d2, cid LIMIT {n_probe}
+), cand AS (
+    SELECT e.vec_id, e.embedding
+    FROM embeddings e
+    JOIN assign s ON s.vec_id = e.vec_id
+    JOIN probes p ON p.cid = s.cid
+    WHERE e.vec_id <> 0
+)
+SELECT vec_id,
+       {_DOT.format(a='cand.embedding', b='q.qv')}
+       / ( sqrt({_DOT.format(a='cand.embedding', b='cand.embedding')})
+         * sqrt({_DOT.format(a='q.qv', b='q.qv')}) ) AS cosine
+FROM cand, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+@query("ivf_ann_topk", _ivf_sql())
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: deterministic hash-sampled centroids, probe the 4 nearest
     of 16 lists, exact cosine re-rank inside them (the scale path: cost
-    ~n_probe/n_lists of brute force)."""
+    ~n_probe/n_lists of brute force). Assignment and probe choice use the
+    scaled-int64 distance metric, so the DuckDB oracle matches exactly."""
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0)

@@ -138,15 +138,17 @@ def test_candidate_jaccard_matches_all_pairs(spark, docs):
     assert got == exact
 
 
-def test_ivf_no_single_partition_exchange(spark, emb):
-    """Centroid selection must be TakeOrdered, not a global no-partition
-    window: the IVF index plan may not contain a single-partition exchange
-    or a Window over the whole corpus."""
+def test_ivf_assignment_is_narrow(spark, emb):
+    """IVF assignment must be a per-row argmin over the literal centroid
+    array — NO Exchange (shuffle) of any kind, no Window, no Join in the
+    returned plan (centroid selection itself runs eagerly as TakeOrdered
+    before the plan is built)."""
     plan = (
         similarity.ivf_index(emb)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange" not in plan, plan
     assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_embedding_dup_lsh_precision_and_recall(spark, emb):
