@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import dedup, similarity, text
+from .operators import dedup, multimodal, similarity, text
 from .operators.hashing import MERSENNE31, minhash_coeffs, plane_weights
 from .queries import load, query
 
@@ -704,3 +704,117 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n_probe/n_lists of brute force). Assignment and probe choice use the
     scaled-int64 distance metric, so the DuckDB oracle matches exactly."""
     return similarity.ivf_topk(load(spark, sf_dir, "embeddings"), query_vec_id=0)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal decode (real PPM / WAV / y4m round trips; the oracle predicts
+# the decoded features analytically from the generative rule, so any
+# encoder/decoder offset, endianness, or header bug shows as a mismatch)
+# ---------------------------------------------------------------------------
+
+_IMG_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           4 + doc_id % 5 AS width,
+           4 + doc_id % 3 AS height
+    FROM documents
+), px AS (
+    SELECT doc_id, width, height,
+           CAST(sum((doc_id*131 + p*3 + 0) % 256) AS BIGINT) AS sum_r,
+           CAST(sum((doc_id*131 + p*3 + 1) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((doc_id*131 + p*3 + 2) % 256) AS BIGINT) AS sum_b
+    FROM g, LATERAL (SELECT unnest(generate_series(0, width*height - 1)) AS p) s
+    GROUP BY 1, 2, 3
+)
+SELECT doc_id, width, height, sum_r, sum_g, sum_b,
+       CAST(sum_r AS DOUBLE) / (width*height) AS mean_r,
+       CAST(sum_g AS DOUBLE) / (width*height) AS mean_g,
+       CAST(sum_b AS DOUBLE) / (width*height) AS mean_b
+FROM px
+"""
+
+
+@query("image_decode_features", _IMG_SQL)
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real P6 (netpbm) round trip per document: encode deterministic
+    pixels -> decode via the pure-numpy PPM parser -> per-channel sums and
+    means. Width/height come from the PARSED HEADER; the oracle predicts
+    them from the generative rule, so a parse bug cannot hide."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    feats = multimodal.image_features(multimodal.docs_as_images(docs))
+    return feats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "width", "height", "sum_r", "sum_g", "sum_b",
+        "mean_r", "mean_g", "mean_b",
+    )
+
+
+_AUDIO_SQL = """
+WITH g AS (
+    SELECT doc_id, 64 + doc_id % 64 AS n_samples FROM documents
+), amp AS (
+    SELECT doc_id, n_samples,
+           CAST(sum((doc_id*37 + s*11) % 4096 - 2048) AS BIGINT) AS sum_amp,
+           CAST(max(abs((doc_id*37 + s*11) % 4096 - 2048)) AS BIGINT) AS peak
+    FROM g, LATERAL (SELECT unnest(generate_series(0, n_samples - 1)) AS s) t
+    GROUP BY 1, 2
+)
+SELECT doc_id, 16000 AS sample_rate, n_samples, sum_amp, peak FROM amp
+"""
+
+
+@query("audio_decode_stats", _AUDIO_SQL)
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real RIFF/WAV PCM16 round trip per document: encode a deterministic
+    waveform -> chunk-walk decode -> sample count (from the data chunk),
+    int64 amplitude sum, peak |amplitude|, parsed sample rate."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    stats = multimodal.audio_stats(multimodal.docs_as_audio(docs))
+    return stats.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        "sample_rate",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        "sum_amp",
+        F.col("peak").cast("long").alias("peak"),
+    )
+
+
+_VIDEO_SQL = """
+WITH g AS (
+    SELECT doc_id,
+           4 + doc_id % 5 AS w,
+           4 + doc_id % 3 AS h,
+           2 + doc_id % 5 AS nf
+    FROM documents
+), f AS (
+    SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS frame_idx
+    FROM g
+), kept AS (
+    SELECT doc_id, w, h, frame_idx FROM f WHERE frame_idx % 2 = 0
+)
+SELECT doc_id, frame_idx,
+       CAST(sum((doc_id*17 + frame_idx*251 + j) % 256) AS BIGINT)
+           AS frame_checksum
+FROM kept, LATERAL (SELECT unnest(generate_series(0, w*h*3 - 1)) AS j) s
+GROUP BY 1, 2
+"""
+
+
+@query("video_frame_sample", _VIDEO_SQL)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real YUV4MPEG2 round trip per document: encode deterministic frames
+    -> y4m decode -> keep every 2nd frame -> int64 byte-sum checksum of the
+    DECODED frame (planar->packed transpose and all)."""
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    out = multimodal.sample_frames(multimodal.docs_as_videos(docs), every_n=2)
+    return out.select(
+        F.col("media_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_checksum",
+    )
