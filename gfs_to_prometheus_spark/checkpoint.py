@@ -92,12 +92,19 @@ def partition_stats(df: DataFrame, part_col: str = "part") -> list[tuple[str, in
     """(part, rows, order-independent checksum) per partition — the counter
     metrics written alongside each commit."""
     # bit_xor: order-independent and overflow-free (ANSI mode rejects
-    # overflowing sums of hashes)
+    # overflowing sums of hashes). Columns are hashed in NAME order and the
+    # partition column is normalized to string, so the checksum of a
+    # pre-write frame equals that of its parquet read-back (the writer
+    # moves the partition column last; partition-type inference turns
+    # yyyy-MM-dd strings into DATE).
+    df = df.withColumn(part_col, F.col(part_col).cast("string"))
     rows = (
         df.groupBy(part_col)
         .agg(
             F.count(F.lit(1)).alias("rows"),
-            F.coalesce(F.bit_xor(F.xxhash64(*df.columns)), F.lit(0)).alias("chk"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64(*sorted(df.columns))), F.lit(0)
+            ).alias("chk"),
         )
         .collect()
     )

@@ -189,3 +189,31 @@ label_mappings: {env: prod}
     assert convert_job.convert(
         spark, arch_dir, out, config_path=str(cfg), job_id="cvt"
     ) == {}  # resumable no-op
+
+
+def test_commit_is_one_pass_no_readback(spark, tmp_path, monkeypatch):
+    """The hot-path commit must never re-read the written table (that
+    doubles write-path I/O at scale): accessing spark.read inside _commit
+    with verify=False is a failure. verify=True is the explicit audit mode
+    and must re-read + agree."""
+    from pyspark.sql import SparkSession
+
+    df = spark.createDataFrame(
+        [("s", 1, 1.0, "2023-11-14"), ("s", 2, 2.0, "2023-11-15")],
+        "series_key string, ts_ms long, value double, part string",
+    )
+
+    def boom(self):
+        raise AssertionError("spark.read accessed during hot-path commit")
+
+    out = str(tmp_path / "t")
+    orig = SparkSession.read
+    monkeypatch.setattr(SparkSession, "read", property(boom))
+    try:
+        n = pipeline._commit(spark, out, "j", "tbl", df, 0.0)
+    finally:
+        monkeypatch.setattr(SparkSession, "read", orig)
+    assert n == 2
+    # audit mode re-reads and must agree with the in-memory stats
+    n2 = pipeline._commit(spark, out, "j", "tbl", df, 0.0, verify=True)
+    assert n2 == 2
