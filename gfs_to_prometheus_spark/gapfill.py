@@ -57,6 +57,36 @@ def grid(
     return dense.join(sparse, [*series, "bucket_ms"], "left")
 
 
+def sparse_encode(
+    df: DataFrame,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """F6 encode direction — the reference's only-changed-stats stream
+    (internal/gfs/statarchive.go:647-685 writes a sample only when the stat
+    differs from its previous value). Keeps each series' first sample and
+    every change point; drops runs of repeats. Timestamp ties are deduped
+    to the max value first (same deterministic rule as changes()/resets())
+    so the lag predecessor is well-defined in both engines.
+
+    Roundtrip law (test_gapfill): ``locf(sparse_encode(x)) == locf(x)`` on
+    every grid bucket up to the encoded stream's last change — a dropped
+    sample always equals its predecessor, so LOCF reconstructs it exactly.
+
+    Scale: one shuffle on the series key (tie-dedup agg + lag window share
+    the partitioning); the filter is a narrow post-window map.
+    """
+    d = df.groupBy(*series, ts).agg(F.max(value).alias(value))
+    w = W.partitionBy(*series).orderBy(ts)
+    prev = F.lag(value).over(w)
+    return (
+        d.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col(value) != F.col("_prev")))
+        .drop("_prev")
+    )
+
+
 def locf(
     df: DataFrame,
     step_s: int,

@@ -270,6 +270,77 @@ def gapfill_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gapfill.locf(load(spark, sf_dir, "events"), 3600)
 
 
+_SPARSE_ENC_CTE = """
+WITH dedup AS (
+    SELECT event_type, epoch_ms(ts) AS ts_ms, max(value) AS value
+    FROM events GROUP BY 1, 2
+), lagged AS (
+    SELECT event_type, ts_ms, value,
+           lag(value) OVER (PARTITION BY event_type ORDER BY ts_ms) AS prev
+    FROM dedup
+), enc AS (
+    SELECT event_type, ts_ms, value
+    FROM lagged WHERE prev IS NULL OR value <> prev
+)
+"""
+
+
+@query(
+    "sparse_encode_changes",
+    _SPARSE_ENC_CTE + "SELECT event_type, ts_ms, value FROM enc",
+)
+def sparse_encode_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 encode direction: only-changed-samples stream (the reference
+    stores a stat sample only when it differs from the previous one,
+    internal/gfs/statarchive.go:647-685)."""
+    enc = gapfill.sparse_encode(load(spark, sf_dir, "events"))
+    return enc.select(
+        "event_type",
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        "value",
+    )
+
+
+_SPARSE_ROUNDTRIP_SQL = (
+    _SPARSE_ENC_CTE
+    + """
+, sparse AS (
+    SELECT event_type, (ts_ms // 3600000) * 3600000 AS bucket_ms,
+           arg_max(value, ts_ms) AS obs
+    FROM enc GROUP BY 1, 2
+), rng AS (
+    SELECT event_type,
+           min((ts_ms // 3600000) * 3600000) AS b0,
+           max((ts_ms // 3600000) * 3600000) AS b1
+    FROM enc GROUP BY 1
+), dense AS (
+    SELECT event_type, unnest(generate_series(b0, b1, 3600000)) AS bucket_ms
+    FROM rng
+), joined AS (
+    SELECT d.event_type, d.bucket_ms, s.obs
+    FROM dense d LEFT JOIN sparse s
+      ON d.event_type = s.event_type AND d.bucket_ms = s.bucket_ms
+)
+SELECT event_type, bucket_ms, obs,
+       last_value(obs IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_ms
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled
+FROM joined
+"""
+)
+
+
+@query("sparse_roundtrip_locf_1h", _SPARSE_ROUNDTRIP_SQL)
+def sparse_roundtrip_locf_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode -> densify roundtrip: LOCF gap-fill over the sparse
+    change-point stream. The pytest companion asserts this equals
+    locf(original) on every common bucket (the F6 roundtrip law); this
+    entry proves both directions are cross-engine exact."""
+    enc = gapfill.sparse_encode(load(spark, sf_dir, "events"))
+    return gapfill.locf(enc, 3600)
+
+
 _LINEAR_SQL = (
     _GAPFILL_BASE.format(ms=3_600_000)
     + """

@@ -432,7 +432,8 @@ WITH pts AS (
 ), agg AS (
     SELECT event_type, bucket_ms, count(*) AS n,
            CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-           CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx
     FROM pts GROUP BY 1, 2
 )
 SELECT event_type, bucket_ms,
@@ -464,12 +465,18 @@ def deriv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         (epoch_ms("ts") - b).alias("x"),
         micro("value").alias("y"),
     )
+    # raw cross moments go straight to decimal(38,0) == DuckDB HUGEINT:
+    # int64 sums of x*x / x*y overflow around ~7e5 samples per series-hour
+    # (x up to 3.6e6 ms, y micro-scaled) — Spark would wrap/throw while
+    # DuckDB widens, diverging beyond fixture scale
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     agg = pts.groupBy("event_type", "bucket_ms").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     den = dec("n") * dec("sxx") - dec("sx") * dec("sx")

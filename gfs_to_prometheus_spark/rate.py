@@ -90,9 +90,18 @@ def changes(
     ts: str = "ts",
     value: str = "value",
 ) -> DataFrame:
-    """PromQL changes(): number of value CHANGES per (series, bucket) —
-    ts-tie dedup, lag window per series, then the same one-shuffle bucket
-    agg as increase(). First sample of a series is not a change."""
+    """PromQL changes() under BUCKETED-window semantics: number of value
+    CHANGES per (series, bucket) — ts-tie dedup, lag window per series,
+    then the same one-shuffle bucket agg as increase().
+
+    Boundary convention (deliberate divergence, like increase()'s): the
+    first sample of a bucket is compared against the LAST sample of the
+    previous bucket, so a change that straddles a boundary counts in the
+    later bucket. True PromQL range windows exclude the pre-window
+    predecessor; over tumbling buckets that would silently drop every
+    boundary change, which is the wrong total for rollup consumers. The
+    SQL oracle mirrors this definition. First sample of a series is not
+    a change."""
     return _lag_count(df, lambda v, p: v != p, "changes", step_s, series, ts, value)
 
 
@@ -103,7 +112,10 @@ def resets(
     ts: str = "ts",
     value: str = "value",
 ) -> DataFrame:
-    """PromQL resets(): counter-decrease count per (series, bucket)."""
+    """PromQL resets() under BUCKETED-window semantics: counter-decrease
+    count per (series, bucket). Same boundary convention as changes():
+    a reset straddling a bucket boundary counts in the later bucket
+    (strict PromQL range windows would drop it entirely)."""
     return _lag_count(df, lambda v, p: v < p, "resets", step_s, series, ts, value)
 
 

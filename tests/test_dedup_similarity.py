@@ -236,3 +236,16 @@ def test_ivf_lloyd_refine_monotone(spark, emb):
     assert d2 <= d1 + 1e-9
     idx = similarity.ivf_index(emb, cents=c2)
     assert idx.select("_list").distinct().count() <= 8
+
+
+def test_components_chain_converges_in_log_rounds(spark):
+    """Pointer jumping: a 64-node path (worst diameter shape — plain
+    min-propagation needs 63 rounds) must converge in O(log N) rounds and
+    still produce the exact min-label components."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    labels, rounds = dedup.components_with_rounds(pairs)
+    got = {r["doc_id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, 65)}
+    assert rounds <= 12, rounds
