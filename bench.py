@@ -35,6 +35,10 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "token_counts",
     "cosine_topk",
+    # the SCALE paths a 100 TB user actually runs (vs the exact baselines
+    # above): banded MinHash-LSH near-dup and IVF ANN
+    "minhash_lsh_dups",
+    "ivf_ann_topk",
 ]
 
 

@@ -122,6 +122,36 @@ def jaccard_pairs(
     return j.select("doc_a", "doc_b", "common", "na", "nb", "jaccard")
 
 
+def _minhash_mins(df: DataFrame, k: int, text: str, n: int) -> DataFrame:
+    """(doc_id, _m0.._m{k-1}): per-permutation minima as PLAIN COLUMNS.
+
+    Staged projections keep the planner sane: h31 (the md5 chain) is
+    materialized in its own projection, then the k permutations are k
+    cheap integer columns referencing it, then k scalar min-aggregates.
+    Expressing the permutations as element_at over a zip_with of literal
+    arrays made Catalyst inline-expand the md5 chain into every one of
+    the k aggregates (~40 s of DRIVER planning per query at k=32);
+    CollapseProject keeps the expensive column un-inlined because it is
+    referenced k times. Scalar mins also aggregate partially map-side —
+    shuffle rows are k bigints per doc."""
+    sh = shingles(df, text, n)
+    ab = minhash_coeffs(k)
+    h31 = F.pmod(md5_lower64(F.col("shingle")), F.lit(MOD31))
+    hashed = sh.select("doc_id", h31.alias("_h31"))
+    perms = hashed.select(
+        "doc_id",
+        *[
+            F.pmod(
+                F.lit(a) * F.col("_h31") + F.lit(b), F.lit(MERSENNE31)
+            ).alias(f"_h{i}")
+            for i, (a, b) in enumerate(ab)
+        ],
+    )
+    return perms.groupBy("doc_id").agg(
+        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)]
+    )
+
+
 def minhash_signatures(
     df: DataFrame, k: int = 32, text: str = "text", n: int = 3
 ) -> DataFrame:
@@ -131,28 +161,10 @@ def minhash_signatures(
     k permutations are literal-coefficient integer arithmetic (products
     stay < 2^62, ANSI-overflow safe), and DuckDB reproduces every value
     via md5_number_lower + the same literals."""
-    sh = shingles(df, text, n)
-    ab = minhash_coeffs(k)
-    a_arr = F.array(*[F.lit(a) for a, _ in ab])
-    b_arr = F.array(*[F.lit(b) for _, b in ab])
-    h31 = F.pmod(md5_lower64(F.col("shingle")), F.lit(MOD31))
-    hashed = sh.select(
-        "doc_id",
-        F.zip_with(
-            a_arr, b_arr, lambda a, b: F.pmod(a * h31 + b, F.lit(MERSENNE31))
-        ).alias("hs"),
+    mins = _minhash_mins(df, k, text, n)
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"_m{i}") for i in range(k)]).alias("sig")
     )
-    agg = hashed.groupBy("doc_id").agg(
-        F.array_agg("hs").alias("all_hs")
-    )
-    # element-wise min across the doc's shingles, vectorized via transform
-    sig = F.transform(
-        F.sequence(F.lit(1), F.lit(k)),
-        lambda i: F.array_min(
-            F.transform(F.col("all_hs"), lambda row: F.element_at(row, i.cast("int")))
-        ),
-    )
-    return agg.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_candidates(
@@ -170,21 +182,28 @@ def minhash_lsh_candidates(
     so precision is 1.0; recall follows the (1-(1-s^r)^b) curve.
     """
     r = k // bands
-    sig = minhash_signatures(df, k, text, n)
-    banded = sig.select(
+    mins = _minhash_mins(df, k, text, n)
+    # band keys straight from the min columns (no slice-of-wide-array for
+    # the planner to expand); materialize the banded index once — it
+    # feeds BOTH sides of the self-join
+    banded = mins.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.slice("sig", b * r + 1, r).alias("key"),
+                        F.array(
+                            *[F.col(f"_m{b * r + j}") for j in range(r)]
+                        ).alias("key"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("pos", "bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    ).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -196,6 +215,7 @@ def minhash_lsh_candidates(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .localCheckpoint(eager=False)  # tiny; verify must not re-run banding
     )
     sh = shingles(df, text, n)
     verified = candidate_jaccard(cands, sh)
