@@ -210,3 +210,146 @@ def decode_archive(
             yield pd.DataFrame(d)
 
     return archive.mapInPandas(dec, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# S3/S4: heuristic resync scan (corruption tolerance)
+# ---------------------------------------------------------------------------
+# The reference recovers from mid-stream corruption by scanning forward a
+# bounded number of bytes for the next byte that parses as a plausible
+# token sequence, skipping (and warning about) everything in between
+# (resyncToNextToken, /root/reference/internal/gfs/statarchive.go:1178-1217,
+# <=50-byte lookahead; the heuristic Geode parser additionally skips whole
+# corrupted resources, geode_parser.go:213-214). The analog here scans a
+# concatenated record SECTION positionally and resyncs on the next offset
+# where a complete record validates. Corruption is the exception path, so
+# this reader is deliberately scalar (the reference's is a byte loop);
+# the happy path stays on decode_archive's vectorized kernels.
+
+_MAX_RESYNC_SKIP = 50  # statarchive.go:1192 "within 50 bytes"
+
+
+def _read_compact_scalar(buf: bytes, pos: int, count: int):
+    """Parse `count` Geode compact ints at pos -> (values, new_pos).
+    Raises ValueError on truncation. Every byte value is SOME valid token
+    (1-byte values cover -121..127, multi tokens -128..-122), so the only
+    hard wire errors are out-of-bounds payloads — plausibility checks on
+    the DECODED values are the caller's job, as in the reference."""
+    out = []
+    n = len(buf)
+    for _ in range(count):
+        if pos >= n:
+            raise ValueError("truncated compact stream")
+        s = buf[pos] - 256 if buf[pos] >= 128 else buf[pos]
+        if s >= -121:  # codecs._MIN_1BYTE
+            out.append(s)
+            pos += 1
+        else:
+            k = s + 130  # codecs._TOKEN_BASE; k in 2..8 by construction
+            if pos + 1 + k > n:
+                raise ValueError("truncated multi-byte payload")
+            out.append(int.from_bytes(buf[pos + 1 : pos + 1 + k], "big", signed=True))
+            pos += 1 + k
+    return out, pos
+
+
+def _try_parse_record(buf: bytes, pos: int, max_count: int = 1_000_000):
+    """Parse one wire record at pos -> (name, ts_list, value_list, end).
+    Validation: header length in bounds, the name must ROUNDTRIP through
+    the modified-UTF8 codec (strict validity — the decoder itself is
+    lenient), sample count in (0, max_count], payload in bounds."""
+    n = len(buf)
+    if pos + 2 > n:
+        raise ValueError("no room for name header")
+    nlen = (buf[pos] << 8) | buf[pos + 1]
+    if nlen == 0 or pos + 2 + nlen > n:
+        raise ValueError("bad name length")
+    name_bytes = buf[pos + 2 : pos + 2 + nlen]
+    name = codecs.mutf8_decode_batch(
+        np.frombuffer(name_bytes, dtype=np.uint8), np.array([nlen])
+    )[0]
+    rebuf, relens = codecs.mutf8_encode_batch([name])
+    if int(relens[0]) != nlen or rebuf.tobytes() != name_bytes:
+        raise ValueError("name is not valid modified-UTF8")
+    p = pos + 2 + nlen
+    (cnt,), p = _read_compact_scalar(buf, p, 1)
+    if not (0 < cnt <= max_count):
+        raise ValueError(f"implausible sample count {cnt}")
+    deltas, p = _read_compact_scalar(buf, p, cnt)
+    vals, p = _read_compact_scalar(buf, p, cnt)
+    ts, acc = [], 0
+    for d in deltas:
+        acc += d
+        ts.append(acc)
+    return name, ts, vals, p
+
+
+def decode_section_resync(
+    payload: bytes, max_skip: int = _MAX_RESYNC_SKIP, max_count: int = 1_000_000
+):
+    """Positionally scan a concatenated record section; on a parse failure
+    advance byte-by-byte (up to max_skip) until a complete record
+    validates again, counting skipped bytes. Returns
+    ([(name, ts_list, value_list)], skipped_bytes). Like the reference's
+    resync this is a HEURISTIC: bytes that happen to parse as a valid
+    record are accepted."""
+    out: list[tuple[str, list[int], list[int]]] = []
+    skipped = 0
+    pos, n = 0, len(payload)
+    while pos < n:
+        try:
+            name, ts, vals, pos = _try_parse_record(payload, pos, max_count)
+            out.append((name, ts, vals))
+        except ValueError:
+            found = None
+            for cand in range(pos + 1, min(pos + 1 + max_skip, n)):
+                try:
+                    _try_parse_record(payload, cand, max_count)
+                    found = cand
+                    break
+                except ValueError:
+                    continue
+            if found is None:  # nothing parseable within the window
+                skipped += n - pos
+                break
+            skipped += found - pos
+            pos = found
+    return out, skipped
+
+
+def decode_archive_resync(
+    archive: DataFrame, series: str = "series_key",
+    max_skip: int = _MAX_RESYNC_SKIP,
+) -> DataFrame:
+    """Corruption-tolerant decode_archive variant (S3/S4): each `record`
+    blob is treated as a section; corrupted spans are skipped after a
+    bounded forward scan. Output rows carry the section's total
+    skipped_bytes (0 on clean input) so callers can reconcile and alert —
+    the engine analog of the reference's resync warnings."""
+    out_schema = (
+        f"{series} string, ts_ms bigint, value_long bigint, skipped_bytes bigint"
+    )
+
+    def dec(batches):
+        for pdf in batches:
+            names: list[str] = []
+            ts_all: list[int] = []
+            vals_all: list[int] = []
+            skips: list[int] = []
+            for rec in pdf["record"]:
+                recs, skipped = decode_section_resync(bytes(rec), max_skip)
+                for name, ts, vals in recs:
+                    names.extend([name] * len(ts))
+                    ts_all.extend(ts)
+                    vals_all.extend(vals)
+                    skips.extend([skipped] * len(ts))
+            yield pd.DataFrame(
+                {
+                    series: names,
+                    "ts_ms": ts_all,
+                    "value_long": vals_all,
+                    "skipped_bytes": skips,
+                }
+            )
+
+    return archive.mapInPandas(dec, out_schema)

@@ -75,3 +75,75 @@ def test_encode_batch_kernel_vectorized():
     assert nms == names
     assert np.array_equal(ts, t) and np.array_equal(vals, v)
     assert (n_series * per) / dt >= 1_000_000, f"{n_series*per/dt:.0f}/s"
+
+
+class TestResync:
+    """S3/S4: heuristic corruption-resync scan
+    (statarchive.go:1178-1217, geode_parser.go:213-214)."""
+
+    def _records(self, spark, keys=("a.one", "b.two", "c.three"), n=20):
+        from pyspark.sql import functions as F
+
+        rows = [
+            (k, 1_700_000_000_000 + i * 1000, (i + 1) * 10 + j)
+            for j, k in enumerate(keys)
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "series_key string, ts_ms long, value_long long"
+        )
+        recs = gfs_binary.encode_archive(df).orderBy("series_key").collect()
+        return [bytes(r["record"]) for r in recs], rows
+
+    def test_clean_section_matches_plain_decode(self, spark):
+        recs, rows = self._records(spark)
+        section = b"".join(recs)
+        got, skipped = gfs_binary.decode_section_resync(section)
+        assert skipped == 0
+        flat = [(name, t, v) for name, ts, vals in got for t, v in zip(ts, vals)]
+        assert sorted(flat) == sorted(rows)
+
+    def test_corrupt_middle_record_resyncs(self, spark):
+        recs, rows = self._records(spark)
+        # wreck record 1's header so its parse fails; records 0 and 2 intact
+        bad = bytearray(recs[1])
+        bad[0] = 0xFF
+        bad[1] = 0xFF  # name length 65535 >> record size
+        section = recs[0] + bytes(bad[:40]) + recs[2]  # truncated garbage too
+        got, skipped = gfs_binary.decode_section_resync(section)
+        names = {g[0] for g in got}
+        assert "a.one" in names and "c.three" in names
+        assert "b.two" not in names
+        assert skipped >= 30  # most of the corrupted span was skipped
+        # intact records decode exactly
+        want = {(n, t, v) for n, t, v in rows if n != "b.two"}
+        flat = {(name, t, v) for name, ts, vals in got for t, v in zip(ts, vals)}
+        assert flat == want
+
+    def test_garbage_prefix_within_window(self, spark):
+        recs, rows = self._records(spark, keys=("x.only",))
+        section = b"\x00" * 30 + recs[0]  # < 50-byte window
+        got, skipped = gfs_binary.decode_section_resync(section)
+        assert skipped == 30
+        assert [g[0] for g in got] == ["x.only"]
+
+    def test_unrecoverable_garbage(self, spark):
+        got, skipped = gfs_binary.decode_section_resync(b"\x00\xff" * 40)
+        assert got == [] and skipped == 80
+
+    def test_spark_operator_end_to_end(self, spark):
+        from pyspark.sql import functions as F
+
+        rows = [
+            ("s.alpha", 1_700_000_000_000 + i * 500, i * 3) for i in range(50)
+        ] + [("s.beta", 1_700_000_000_000 + i * 500, i * 7) for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "series_key string, ts_ms long, value_long long"
+        )
+        arch = gfs_binary.encode_archive(df)
+        out = gfs_binary.decode_archive_resync(arch)
+        back = {
+            (r["series_key"], r["ts_ms"], r["value_long"]) for r in out.collect()
+        }
+        assert back == set(rows)
+        assert out.filter("skipped_bytes != 0").count() == 0
