@@ -1051,3 +1051,151 @@ def range_join_clicks_after_purchase(spark: SparkSession, sf_dir: str) -> DataFr
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# PromQL instant estimators + over-time family (round 3)
+# ---------------------------------------------------------------------------
+
+_MICRO = "CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)"
+
+_IRATE_SQL = f"""
+WITH dedup AS (
+    SELECT event_type, ts, max(value) AS value FROM events GROUP BY 1, 2
+), pts AS (
+    SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+           epoch_ms(ts) AS t, {_MICRO} AS v
+    FROM dedup
+), lagged AS (
+    SELECT event_type, bucket_ms, t, v,
+           lag(v) OVER (PARTITION BY event_type, bucket_ms ORDER BY t) AS pv,
+           lag(t) OVER (PARTITION BY event_type, bucket_ms ORDER BY t) AS pt,
+           row_number() OVER (
+               PARTITION BY event_type, bucket_ms ORDER BY t DESC) AS rn
+    FROM pts
+)
+SELECT event_type, bucket_ms,
+       CASE WHEN pv IS NULL THEN NULL
+            ELSE CAST(CASE WHEN v >= pv THEN v - pv ELSE v END AS DOUBLE)
+                 * CAST(1000.0 AS DOUBLE) / CAST(t - pt AS DOUBLE)
+       END AS irate_micro_per_s
+FROM lagged WHERE rn = 1
+"""
+
+
+@query("irate_1h", _IRATE_SQL)
+def irate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL irate(m[1h]): last-two-samples per-second rate with the
+    counter-reset rule; NULL for single-sample buckets."""
+    from .rate import irate
+
+    return irate(load(spark, sf_dir, "events"), 3600)
+
+
+_IDELTA_SQL = f"""
+WITH dedup AS (
+    SELECT event_type, ts, max(value) AS value FROM events GROUP BY 1, 2
+), pts AS (
+    SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+           epoch_ms(ts) AS t, {_MICRO} AS v
+    FROM dedup
+), lagged AS (
+    SELECT event_type, bucket_ms, v,
+           lag(v) OVER (PARTITION BY event_type, bucket_ms ORDER BY t) AS pv,
+           row_number() OVER (
+               PARTITION BY event_type, bucket_ms ORDER BY t DESC) AS rn
+    FROM pts
+)
+SELECT event_type, bucket_ms, CAST(v - pv AS BIGINT) AS idelta_micro
+FROM lagged WHERE rn = 1
+"""
+
+
+@query("idelta_1h", _IDELTA_SQL)
+def idelta_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL idelta(m[1h]): difference of the last two samples per
+    series bucket (gauge counterpart of irate)."""
+    from .rate import idelta
+
+    return idelta(load(spark, sf_dir, "events"), 3600)
+
+
+_OVER_TIME_SQL = f"""
+SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+       CAST(min({_MICRO}) AS BIGINT) AS min_micro,
+       CAST(max({_MICRO}) AS BIGINT) AS max_micro,
+       CAST(sum({_MICRO}) AS BIGINT) AS sum_micro,
+       count(*) AS n_samples
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("over_time_aggs_1h", _OVER_TIME_SQL)
+def over_time_aggs_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL min/max/sum/count_over_time(m[1h]) in one pass."""
+    from .rate import over_time_aggs
+
+    return over_time_aggs(load(spark, sf_dir, "events"), 3600)
+
+
+_STDDEV_SQL = f"""
+WITH agg AS (
+    SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+           count(*) AS n,
+           sum(CAST({_MICRO} AS HUGEINT)) AS s1,
+           sum(CAST({_MICRO} AS HUGEINT) * {_MICRO}) AS s2
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_ms,
+       sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / CAST(n AS DOUBLE)
+           AS stddev_micro
+FROM agg
+"""
+
+
+@query("stddev_over_time_1h", _STDDEV_SQL)
+def stddev_over_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL stddev_over_time(m[1h]): population stddev from exact
+    integer moments (decimal(38,0) == HUGEINT), one double sqrt/division."""
+    from .rate import stddev_over_time
+
+    return stddev_over_time(load(spark, sf_dir, "events"), 3600)
+
+
+_PREDICT_SQL = f"""
+WITH pts AS (
+    SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+           epoch_ms(ts) - (epoch_ms(ts) // 3600000) * 3600000 AS x,
+           {_MICRO} AS y
+    FROM events
+), agg AS (
+    SELECT event_type, bucket_ms, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           sum(CAST(x AS HUGEINT) * y) AS sxy,
+           sum(CAST(x AS HUGEINT) * x) AS sxx
+    FROM pts GROUP BY 1, 2
+)
+SELECT event_type, bucket_ms,
+       CASE WHEN n < 2
+                 OR CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+            THEN NULL
+            ELSE (CAST(sy AS DOUBLE)
+                  + CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                         AS DOUBLE)
+                    / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                           AS DOUBLE)
+                    * (CAST(n AS DOUBLE) * 5400000.0 - CAST(sx AS DOUBLE)))
+                 / CAST(n AS DOUBLE)
+       END AS predicted_micro
+FROM agg
+"""
+
+
+@query("predict_linear_1h", _PREDICT_SQL)
+def predict_linear_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL predict_linear(m[1h], 1800): least-squares extrapolation 30
+    minutes past the bucket end — exact integer moments, one fixed double
+    expression (bit-exact vs the oracle)."""
+    from .rate import predict_linear
+
+    return predict_linear(load(spark, sf_dir, "events"), 3600, 1800)

@@ -139,3 +139,169 @@ def gauge_delta(
     return per_ts.groupBy(*series, "bucket_ms").agg(
         (F.max_by("_v", "_t") - F.min_by("_v", "_t")).alias("delta_micro")
     )
+
+
+def irate(
+    df: DataFrame,
+    step_s: int,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL irate(): per-second rate from the LAST TWO samples of each
+    (series, bucket) — the spiky-counter estimator. Reset rule as rate():
+    a drop counts from 0 (the post-reset value is the increase). Buckets
+    with a single sample yield NULL. Transport is int64-micro; ONE double
+    division at the end, so both engines agree bit-for-bit.
+
+    Boundary convention: the pair must lie INSIDE the bucket (strict
+    PromQL range semantics for the instant estimators, unlike the
+    bucketed changes()/resets() convention — documented there)."""
+    from .timeutil import epoch_ms, micro
+
+    d = _dedup_ts(df, series, ts, value).select(
+        *series,
+        bucket_ms(ts, step_s).alias("bucket_ms"),
+        epoch_ms(ts).alias("_t"),
+        micro(value).alias("_v"),
+    )
+    w = W.partitionBy(*series, "bucket_ms").orderBy("_t")
+    d = d.withColumn("_pv", F.lag("_v").over(w)).withColumn(
+        "_pt", F.lag("_t").over(w)
+    )
+    last = d.groupBy(*series, "bucket_ms").agg(
+        F.max_by(F.struct("_v", "_pv", "_pt", "_t"), "_t").alias("_l")
+    )
+    v, pv = F.col("_l._v"), F.col("_l._pv")
+    dt = F.col("_l._t") - F.col("_l._pt")
+    inc = F.when(v >= pv, v - pv).otherwise(v)
+    out = F.when(pv.isNull(), F.lit(None).cast("double")).otherwise(
+        inc.cast("double") * F.lit(1000.0) / dt.cast("double")
+    )
+    return last.select(*series, "bucket_ms", out.alias("irate_micro_per_s"))
+
+
+def idelta(
+    df: DataFrame,
+    step_s: int,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL idelta(): difference of the last two samples per (series,
+    bucket) — gauge counterpart of irate (no reset rule). Single-sample
+    buckets yield NULL. Exact int64-micro arithmetic end to end."""
+    from .timeutil import epoch_ms, micro
+
+    d = _dedup_ts(df, series, ts, value).select(
+        *series,
+        bucket_ms(ts, step_s).alias("bucket_ms"),
+        epoch_ms(ts).alias("_t"),
+        micro(value).alias("_v"),
+    )
+    w = W.partitionBy(*series, "bucket_ms").orderBy("_t")
+    d = d.withColumn("_pv", F.lag("_v").over(w))
+    last = d.groupBy(*series, "bucket_ms").agg(
+        F.max_by(F.struct("_v", "_pv"), "_t").alias("_l")
+    )
+    return last.select(
+        *series,
+        "bucket_ms",
+        (F.col("_l._v") - F.col("_l._pv")).alias("idelta_micro"),
+    )
+
+
+def over_time_aggs(
+    df: DataFrame,
+    step_s: int,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL min/max/sum/count_over_time in one pass per (series,
+    bucket), int64-micro transport (order-independent, oracle-exact)."""
+    from .timeutil import micro
+
+    return df.groupBy(*series, bucket_ms(ts, step_s).alias("bucket_ms")).agg(
+        F.min(micro(value)).alias("min_micro"),
+        F.max(micro(value)).alias("max_micro"),
+        F.sum(micro(value)).alias("sum_micro"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+
+
+def stddev_over_time(
+    df: DataFrame,
+    step_s: int,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL stddev_over_time(): POPULATION stddev per (series, bucket).
+    Exact integer moments (sum and sum-of-squares in decimal(38,0) ==
+    DuckDB HUGEINT, immune to int64 overflow), one double sqrt/division:
+    stddev = sqrt(n*s2 - s1^2) / n, in micro units."""
+    from .timeutil import micro
+
+    yd = micro(value).cast("decimal(38,0)")
+    agg = df.groupBy(*series, bucket_ms(ts, step_s).alias("bucket_ms")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(yd).alias("s1"),
+        F.sum(yd * yd).alias("s2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n") * dec("s2") - dec("s1") * dec("s1")
+    out = F.sqrt(num.cast("double")) / F.col("n").cast("double")
+    return agg.select(*series, "bucket_ms", out.alias("stddev_micro"))
+
+
+def predict_linear(
+    df: DataFrame,
+    step_s: int,
+    horizon_s: int,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL predict_linear(): least-squares extrapolation horizon_s past
+    the BUCKET END. Same exact-integer-moment scheme as deriv() (x is the
+    ms offset from the bucket start, y int64-micro; cross moments in
+    decimal(38,0) == HUGEINT), evaluated with one fixed double expression:
+
+        yhat = (sy + num/den * (n*x0 - sx)) / n,  x0 = step+horizon in ms
+
+    so DuckDB reproduces it bit-for-bit. Buckets with n < 2 or a singular
+    x spread yield NULL."""
+    from .timeutil import epoch_ms, micro
+
+    b = bucket_ms(ts, step_s)
+    pts = df.select(
+        *series,
+        b.alias("bucket_ms"),
+        (epoch_ms(ts) - b).alias("x"),
+        micro(value).alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    agg = pts.groupBy(*series, "bucket_ms").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    den = dec("n") * dec("sxx") - dec("sx") * dec("sx")
+    num = dec("n") * dec("sxy") - dec("sx") * dec("sy")
+    x0 = F.lit(float((step_s + horizon_s) * 1000))
+    yhat = (
+        F.col("sy").cast("double")
+        + num.cast("double")
+        / den.cast("double")
+        * (F.col("n").cast("double") * x0 - F.col("sx").cast("double"))
+    ) / F.col("n").cast("double")
+    out = F.when(
+        (F.col("n") < 2) | (den == F.lit(0).cast("decimal(38,0)")),
+        F.lit(None).cast("double"),
+    ).otherwise(yhat)
+    return agg.select(*series, "bucket_ms", out.alias("predicted_micro"))
