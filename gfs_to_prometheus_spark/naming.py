@@ -102,3 +102,54 @@ def series_label(key: Column | str, label: str) -> Column:
 
     c = F.col(key) if isinstance(key, str) else key
     return F.regexp_extract(c, r"[{,]" + re.escape(label) + r"=([^,}]+)", 1)
+
+
+def rebuild_with_label(
+    key: Column | str, label: str, value: Column
+) -> Column:
+    """'metric{k=v,...}' with `label` set to `value` (replacing any
+    existing entry), labels kept ALPHABETICALLY sorted — the canonical key
+    form, so rewritten keys compare equal across engines. Array ops only
+    (split/filter/sort_array/array_join): every step has a DuckDB list_*
+    twin for the oracle."""
+    c = F.col(key) if isinstance(key, str) else key
+    inner = F.regexp_extract(c, r"\{(.*)\}$", 1)
+    parts = F.filter(
+        F.split(inner, ","),
+        lambda p: (p != "") & ~p.like(label.replace("_", r"\_") + "=%"),
+    )
+    added = F.concat(
+        parts, F.array(F.concat(F.lit(label + "="), value))
+    )
+    return F.concat(
+        series_metric(c), F.lit("{"), F.array_join(F.sort_array(added), ","),
+        F.lit("}"),
+    )
+
+
+def label_replace(
+    key: Column | str, dst: str, replacement: str, src: str, regex: str
+) -> Column:
+    """PromQL label_replace(v, dst, replacement, src, regex): if `regex`
+    (anchored, as PromQL) fully matches src's value, dst is set to
+    `replacement` with $1-style group references; otherwise the key is
+    returned UNCHANGED (PromQL leaves the series untouched on no-match).
+    `replacement` uses Java/Spark $N syntax — the SQL oracle writes the
+    same pattern with DuckDB's \\N syntax."""
+    c = F.col(key) if isinstance(key, str) else key
+    src_val = series_metric(c) if src == "__name__" else series_label(c, src)
+    anchored = "^(?:" + regex + ")$"
+    new_val = F.regexp_replace(src_val, anchored, replacement)
+    return F.when(
+        src_val.rlike(anchored), rebuild_with_label(c, dst, new_val)
+    ).otherwise(c)
+
+
+def label_join(
+    key: Column | str, dst: str, sep: str, srcs: list[str]
+) -> Column:
+    """PromQL label_join(v, dst, sep, src...): dst = the src label values
+    joined with sep (absent labels join as '')."""
+    c = F.col(key) if isinstance(key, str) else key
+    vals = [series_label(c, s) for s in srcs]
+    return rebuild_with_label(c, dst, F.concat_ws(sep, *vals))

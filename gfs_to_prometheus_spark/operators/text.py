@@ -129,3 +129,39 @@ def fingerprints(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
     )
     fp = F.when(F.size(toks) >= n, F.array_min(sh)).otherwise(F.md5(F.col("_t")))
     return base.select("doc_id", fp.alias("fingerprint"))
+
+
+def vocab_topk(df: DataFrame, k: int = 50, text: str = "text") -> DataFrame:
+    """Global vocabulary top-k by token frequency — the training-corpus
+    vocabulary builder. One explode + one hash agg (map-side partial
+    counts) + TakeOrdered (never a global sort); ties break on the token
+    so the result is deterministic at any parallelism."""
+    ex = df.select(F.explode(ws_tokens(text)).alias("tok"))
+    counts = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), F.asc("tok")).limit(k)
+
+
+def redact_tokens(
+    df: DataFrame, pattern: str, replacement: str = "<TOK>", text: str = "text"
+) -> DataFrame:
+    """Redaction pass (the PII-scrub shape): replace every match of
+    `pattern` and count hits per document. Output carries md5(redacted)
+    instead of the full text so downstream checks stay narrow."""
+    c = F.col(text)
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(c, F.lit(pattern), F.lit(0))).alias("n_hits"),
+        F.md5(F.regexp_replace(c, pattern, replacement)).alias("redacted_md5"),
+    )
+
+
+def term_doc_stats(df: DataFrame, text: str = "text") -> DataFrame:
+    """TF-IDF / BM25 backbone: the (doc, term) matrix with term frequency
+    and document frequency — the distributed-heavy part of corpus scoring
+    (the final score is trivial local math; log-based weighting is left
+    to callers because libm log differs across engines, which would break
+    exact oracles). Two hash aggs, one broadcast-size join on the term."""
+    ex = df.select("doc_id", F.explode(ws_tokens(text)).alias("tok"))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return tf.join(dfreq, "tok").select("doc_id", "tok", "tf", "df")

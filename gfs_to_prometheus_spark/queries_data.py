@@ -818,3 +818,61 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("long").alias("frame_idx"),
         "frame_checksum",
     )
+
+
+@query(
+    "vocab_top50",
+    """
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+)
+SELECT tok, count(*) AS n FROM toks
+GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 50
+""",
+)
+def vocab_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (deterministic
+    tie-break), explode -> partial-agg count -> TakeOrdered."""
+    return text.vocab_topk(load(spark, sf_dir, "documents"), k=50)
+
+
+_REDACT_PAT = r"\b(a|the|key|value)\b"
+
+
+@query(
+    "redact_stop_tokens",
+    f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_REDACT_PAT}')) AS n_hits,
+       md5(regexp_replace(text, '{_REDACT_PAT}', '<TOK>', 'g')) AS redacted_md5
+FROM documents
+""",
+)
+def redact_stop_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass (PII-scrub shape) over high-frequency tokens: per-doc
+    hit count + md5 of the redacted text (full-text equality without
+    shipping the text)."""
+    return text.redact_tokens(
+        load(spark, sf_dir, "documents"), _REDACT_PAT, "<TOK>"
+    )
+
+
+@query(
+    "term_doc_stats",
+    """
+WITH ex AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+), tf AS (
+    SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2
+), dfreq AS (
+    SELECT tok, count(*) AS df FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df
+FROM tf JOIN dfreq USING (tok)
+""",
+)
+def term_doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TF-IDF/BM25 term-document matrix (tf + df per doc-term)."""
+    return text.term_doc_stats(load(spark, sf_dir, "documents"))

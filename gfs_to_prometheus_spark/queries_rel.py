@@ -1199,3 +1199,43 @@ def predict_linear_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .rate import predict_linear
 
     return predict_linear(load(spark, sf_dir, "events"), 3600, 1800)
+
+
+@query(
+    "label_rewrite_select",
+    """
+WITH keyed AS (
+    SELECT event_type AS et, count(*) AS n FROM events GROUP BY 1
+)
+SELECT CASE WHEN et LIKE 'p%'
+            THEN 'requests{env=prod,family=' || et || ',id=prod-' || et
+                 || ',type=' || et || '}'
+            ELSE 'requests{env=prod,id=prod-,type=' || et || '}'
+       END AS series_key,
+       n
+FROM keyed
+""",
+)
+def label_rewrite_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL label_replace + label_join over canonical series keys:
+    family <- type when it matches ^(p.*)$ (non-matching series pass
+    through UNCHANGED, per PromQL), then id <- join(env, family, '-'),
+    labels re-sorted alphabetically on every rewrite. The oracle predicts
+    the rewritten keys in closed form, so any defect in the split/filter/
+    sort/rebuild machinery (or the no-match pass-through) mismatches."""
+    from .naming import label_join, label_replace
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat(
+            F.lit("requests{env=prod,type="), F.col("event_type"), F.lit("}")
+        ).alias("series_key")
+    )
+    k1 = label_replace(
+        F.col("series_key"), dst="family", replacement="$1", src="type",
+        regex="(p.*)",
+    )
+    k2 = label_join(k1, dst="id", sep="-", srcs=["env", "family"])
+    return keyed.select(k2.alias("series_key")).groupBy("series_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
