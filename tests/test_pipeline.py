@@ -217,3 +217,37 @@ def test_commit_is_one_pass_no_readback(spark, tmp_path, monkeypatch):
     # audit mode re-reads and must agree with the in-memory stats
     n2 = pipeline._commit(spark, out, "j", "tbl", df, 0.0, verify=True)
     assert n2 == 2
+
+
+def test_compaction_lossless_and_resumable(spark, tmp_path):
+    """Block compaction (2h -> 1d): decoded samples identical, strictly
+    fewer chunk rows, no-op on re-run (Prometheus-compactor analog for the
+    table-backed sink)."""
+    from gfs_to_prometheus_spark import chunks as chunks_mod
+    from jobs import compact as compact_job
+
+    out = str(tmp_path / "tsdb")
+    pipeline.run(spark, out, N_DOCS, job_id="full")
+
+    stats = compact_job.compact(spark, out)
+    assert stats["dst_chunks"] < stats["src_chunks"]
+
+    src = spark.read.parquet(os.path.join(out, "chunks"))
+    dst = spark.read.parquet(os.path.join(out, "chunks_1d"))
+    # every compacted block is day-sized and day-aligned
+    assert dst.filter(F.col("block_start_ms") % 86_400_000 != 0).count() == 0
+
+    def fp(df):
+        s = chunks_mod.decode_chunks(df, series=("series_key",))
+        (row,) = s.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("series_key", "ts_ms", "value")), F.lit(0)
+            ).alias("chk"),
+        ).collect()
+        return row["n"], row["chk"]
+
+    assert fp(src) == fp(dst)  # lossless
+    assert compact_job.compact(spark, out) == {}  # committed -> no-op
+    lin = checkpoint.read_lineage(spark, out)
+    assert lin.filter(F.col("table") == "chunks_1d").count() >= 1
