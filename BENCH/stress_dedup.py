@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Near-dup scaling ladder: minhash_lsh_candidates end-to-end wall at
+4x-growing synthetic corpora (disjoint deterministic word soup, shared
+5k-word vocabulary — the same shape as the driver's documents fixture).
+
+The point: the banded LSH path must grow ~LINEARLY in corpus size
+(signatures are O(docs x shingles), the band join is bucket-local),
+while the exact all-pairs baseline is quadratic by construction. A
+super-linear LSH trend here would flag a plan regression (e.g. the
+r1 all-pairs verify, or the r3 planner blowup) before it ships.
+
+Appends to BENCH/BASELINE.md. Knobs: STRESS_SIZES (default "5000,10000,20000").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+
+def synth_docs(spark, n: int):
+    """Word soup with PLANTED near-dups: every 100th doc is its
+    predecessor with the last word swapped (jaccard ~0.9), so the ladder
+    exercises banding, candidate collection AND the exact verify."""
+    from pyspark.sql import functions as F
+
+    is_dup = F.pmod(F.col("id"), F.lit(100)) == 99
+    base = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(59)),
+        lambda j: F.when(
+            is_dup & (j == 59), F.lit("zz")
+        ).otherwise(
+            F.concat(F.lit("w"), F.pmod(F.xxhash64(base * 60 + j), F.lit(5000)))
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+
+
+def run_one(n: int) -> dict:
+    """One ladder level, isolated in its own process (checkpoint RDDs from
+    earlier levels otherwise accumulate in the block manager and skew
+    later levels)."""
+    from gfs_to_prometheus_spark.operators import dedup
+    from gfs_to_prometheus_spark.session import get_spark
+
+    spark = get_spark(app=f"stress_dedup_{n}", cpus=32)
+    docs = synth_docs(spark, n).localCheckpoint()  # exclude synth cost
+    dedup.minhash_lsh_candidates(docs, 32, 8, 0.05).count()  # warm
+    best, pairs = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pairs = dedup.minhash_lsh_candidates(docs, 32, 8, 0.05).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return {"docs": n, "pairs": pairs, "seconds": round(best, 2)}
+
+
+def main() -> None:
+    import subprocess
+
+    sizes = [
+        int(s) for s in os.environ.get("STRESS_SIZES", "5000,10000,20000").split(",")
+    ]
+    results = []
+    for n in sizes:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             f"import sys; sys.path.insert(0, {REPO!r}); sys.path.insert(0, {HERE!r});\n"
+             f"import json, stress_dedup\n"
+             f"print('RESULT ' + json.dumps(stress_dedup.run_one({n})))"],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        results.append(json.loads(line[len("RESULT "):]))
+        print(json.dumps(results[-1]))
+    base = results[0]
+    rows = "\n".join(
+        "| {d:,} | {p} | {s} | {r:.2f}x time for {g:.0f}x docs |".format(
+            d=r["docs"], p=r["pairs"], s=r["seconds"],
+            r=r["seconds"] / base["seconds"], g=r["docs"] / base["docs"],
+        )
+        for r in results
+    )
+    md = f"""
+
+## Near-dup LSH scaling ladder (round 3)
+
+`minhash_lsh_candidates` (k=32, 8 bands, exact-Jaccard verify) over
+4x-growing synthetic corpora, min of 2 warm passes (fresh process per level)
+(`BENCH/stress_dedup.py`). Linear-ish growth = the banded plan holds;
+the exact `jaccard_pairs` baseline is quadratic by construction and is
+not run at these sizes.
+
+| docs | verified pairs | wall (s) | growth |
+|---|---|---|---|
+{rows}
+
+Raw: `{json.dumps(results)}`
+"""
+    with open(os.path.join(HERE, "BASELINE.md"), "a") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -92,10 +92,13 @@ def jaccard_pairs(
     # Join on the 8-byte xxhash64 of the shingle, not the ~40-byte string:
     # set sizes and intersection counts are hash-collision-exact up to
     # 2^-64 per pair (the universal near-dup trade), and shuffle volume +
-    # key compares drop ~5x.
+    # key compares drop ~5x. cache() (columnar, ~5x faster than the
+    # Java-serialized localCheckpoint blocks) + count() so the cache lands
+    # before the consumer stages fan out (else each recomputes the chain).
     sh = sh.select(
         "doc_id", F.xxhash64("shingle").alias("shingle")
-    ).localCheckpoint(eager=False)
+    ).cache()
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -183,9 +186,12 @@ def minhash_lsh_candidates(
     """
     r = k // bands
     mins = _minhash_mins(df, k, text, n)
-    # band keys straight from the min columns (no slice-of-wide-array for
-    # the planner to expand); materialize the banded index once — it
-    # feeds BOTH sides of the self-join
+    # one int64 band key per (doc, band): xxhash64 over the band's min
+    # columns. Joining on a long is ~10x faster than joining on the raw
+    # array<bigint> key (array join keys fall off the codegen hash-join
+    # path); a 2^-64 hash collision can only ADD a candidate, which the
+    # exact-Jaccard verify then scores truthfully — same universal trade
+    # as the xxhash64 shingle join keys
     banded = mins.select(
         "doc_id",
         F.posexplode(
@@ -193,7 +199,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.array(
+                        F.xxhash64(
                             *[F.col(f"_m{b * r + j}") for j in range(r)]
                         ).alias("key"),
                     )
@@ -203,19 +209,17 @@ def minhash_lsh_candidates(
         ).alias("pos", "bk"),
     ).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    ).localCheckpoint(eager=False)
+    ).cache()
+    banded.count()  # land the cache before the self-join's two reads
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")),
-        )
+        a.join(b, ["band", "key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .localCheckpoint(eager=False)  # tiny; verify must not re-run banding
+        .cache()  # tiny; verify must not re-run banding
     )
     sh = shingles(df, text, n)
     verified = candidate_jaccard(cands, sh)
@@ -234,13 +238,23 @@ def candidate_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
     from one tiny agg. Every join is a key equi-join on doc ids / (doc id,
     shingle) — shuffles scale with the candidate set, not the corpus square.
     """
-    # hash the join key (see jaccard_pairs) + one compute for 3 consumers
+    # hash the join key + one columnar-cached compute for 3 consumers
+    # (see jaccard_pairs for the cache-vs-checkpoint rationale)
     sh = sh.select(
         "doc_id", F.xxhash64("shingle").alias("shingle")
-    ).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ).cache()
+    sh.count()
+    # restrict the index to CANDIDATE DOCS before anything shuffles: the
+    # semi-joins keep each candidate doc's full shingle set but drop the
+    # (usually vast) non-candidate majority, so shuffle volume tracks the
+    # candidate set, not the corpus (AQE broadcasts the doc-id sets when
+    # small; degrades gracefully to shuffled semi-joins when not)
+    docs_a = cands.select(F.col("doc_a").alias("doc_id")).distinct()
+    docs_b = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+    sha = sh.join(docs_a, "doc_id", "left_semi")
+    shb = sh.join(docs_b, "doc_id", "left_semi")
+    sa = sha.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shb.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (
         cands.select("doc_a", "doc_b")
         .join(sa, "doc_a")
@@ -248,8 +262,12 @@ def candidate_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("common"))
     )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    na = sha.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na")).select(
+        F.col("doc_id").alias("doc_a"), "na"
+    )
+    nb = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb")).select(
+        F.col("doc_id").alias("doc_b"), "nb"
+    )
     return (
         common.join(na, "doc_a")
         .join(nb, "doc_b")
@@ -302,7 +320,7 @@ def simhash_dup_pairs(
     """
     bands = max_hamming + 1
     r = bits // bands
-    sh = simhash(df, text, bits).localCheckpoint(eager=False)
+    sh = simhash(df, text, bits).cache()
     widths = [r + (1 if b < bits % bands else 0) for b in range(bands)]
     offs = [sum(widths[:b]) for b in range(bands)]
     banded = sh.select(

@@ -133,3 +133,58 @@ def test_plan_is_narrow(spark):
     media = mm.synth_media(spark, 10)
     plan = mm.image_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property tests (random shapes/content)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 40), h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_ppm_roundtrip_property(w, h, seed):
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    gw, gh, got = mm.decode_ppm(mm.encode_ppm(px))
+    assert (gw, gh) == (w, h) and np.array_equal(got, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 500),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, seed):
+    s = np.random.default_rng(seed).integers(-32768, 32768, n).astype(np.int16)
+    grate, got = mm.decode_wav(mm.encode_wav(s, rate))
+    assert grate == rate and np.array_equal(got, s)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(0, 6), w=st.integers(1, 16), h=st.integers(1, 16),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_y4m_roundtrip_property(n, w, h, seed):
+    fr = np.random.default_rng(seed).integers(
+        0, 256, (n, h, w, 3), dtype=np.uint8
+    )
+    gw, gh, got = mm.decode_y4m(mm.encode_y4m(fr))
+    assert (gw, gh) == (w, h)
+    assert got.shape == (n, h, w, 3) and np.array_equal(got, fr)
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_decoders_reject_or_parse_garbage(data):
+    """Decoders must raise ValueError on garbage, never crash or loop."""
+    for dec in (mm.decode_ppm, mm.decode_wav, mm.decode_y4m):
+        try:
+            dec(data)
+        except (ValueError, IndexError):
+            pass
