@@ -110,5 +110,100 @@ Raw: `{json.dumps(results)}`
         fh.write(md)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and os.environ.get("STRESS_MODE", "docs") == "docs":
     main()
+
+
+def synth_vectors(spark, n: int):
+    """Deterministic 64-dim vectors; every 100th is a tiny perturbation of
+    its predecessor (cosine >= 0.99 planted near-dups)."""
+    from pyspark.sql import functions as F
+
+    is_dup = F.pmod(F.col("id"), F.lit(100)) == 99
+    base_id = F.when(is_dup, F.col("id") - 1).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda j: (
+            (F.pmod(F.xxhash64(base_id * 64 + j), F.lit(2001)) - 1000).cast("double")
+            / 1000.0
+            + F.when(
+                is_dup,
+                (F.pmod(F.xxhash64(F.col("id"), j), F.lit(21)) - 10).cast("double")
+                / 1000.0,
+            ).otherwise(F.lit(0.0))
+        ).cast("float"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
+def run_one_embedding(n: int) -> dict:
+    """Embedding near-dup ladder level: banded sign-LSH at scale params
+    (planes=128, 8 bands of r=16 — random-pair collision 2^-16/band)."""
+    from gfs_to_prometheus_spark.operators import similarity
+    from gfs_to_prometheus_spark.session import get_spark
+
+    spark = get_spark(app=f"stress_emb_{n}", cpus=32)
+    emb = synth_vectors(spark, n).localCheckpoint()
+    kw = dict(threshold=0.99, planes=128, bands=8, dim=64)
+    similarity.cosine_dup_pairs_lsh(emb, **kw).count()  # warm
+    best, pairs = None, 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        pairs = similarity.cosine_dup_pairs_lsh(emb, **kw).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return {"vectors": n, "pairs": pairs, "seconds": round(best, 2)}
+
+
+def main_embedding() -> None:
+    import subprocess
+
+    sizes = [
+        int(s)
+        for s in os.environ.get("STRESS_VEC_SIZES", "25000,100000").split(",")
+    ]
+    results = []
+    for n in sizes:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             f"import sys; sys.path.insert(0, {REPO!r}); sys.path.insert(0, {HERE!r});\n"
+             f"import json, stress_dedup\n"
+             f"print('RESULT ' + json.dumps(stress_dedup.run_one_embedding({n})))"],
+            capture_output=True, text=True, check=True,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        results.append(json.loads(line[len("RESULT "):]))
+        print(json.dumps(results[-1]))
+    base = results[0]
+    rows = "\n".join(
+        "| {d:,} | {p} | {s} | {r:.2f}x time for {g:.0f}x vectors |".format(
+            d=r["vectors"], p=r["pairs"], s=r["seconds"],
+            r=r["seconds"] / base["seconds"], g=r["vectors"] / base["vectors"],
+        )
+        for r in results
+    )
+    md = f"""
+
+## Embedding near-dup LSH scaling ladder (round 3)
+
+`cosine_dup_pairs_lsh` at SCALE parameters (planes=128, 8 bands of r=16
+sign bits; planted cos>=0.99 near-dups every 100th vector), min of 2
+warm passes, fresh process per level. The r=2 fixture default collides
+~82% of random pairs at 100k vectors (quadratic candidates, did not
+finish in 10 min); at r=16 random collision is 2^-16 per band and the
+numpy-vectorized signature/verify kernels keep the path linear-ish:
+
+| vectors | pairs | wall (s) | growth |
+|---|---|---|---|
+{rows}
+
+Raw: `{json.dumps(results)}`
+"""
+    with open(os.path.join(HERE, "BASELINE.md"), "a") as fh:
+        fh.write(md)
+
+
+if __name__ == "__main__" and os.environ.get("STRESS_MODE") == "embedding":
+    main_embedding()

@@ -98,6 +98,73 @@ def lsh_signature(vec, planes: int = 16, dim: int = 64):
     return sig
 
 
+def lsh_band_keys(
+    df: DataFrame,
+    planes: int,
+    bands: int,
+    dim: int = 64,
+    vec: str = "embedding",
+    out: str = "_keys",
+) -> DataFrame:
+    """df + ``out``: array<bigint> of `bands` band keys, key b = the r =
+    planes/bands sign bits of that band's hyperplane projections.
+
+    The md5-derived integer weights ride as ONE broadcast runtime value
+    (array<array<double>>, pre-scaled 1e6) instead of plan literals:
+    literal weights cost O(planes x dim) ANALYSIS time per query (~3 s at
+    12x64, minutes at the 128x64 a 100k-corpus needs), while a runtime
+    value is one column reference. Projections use the scaled-int64 sum
+    rule, so keys are shuffle-order independent and the DuckDB oracle
+    reproduces the same r-bit vectors (its key formula may pack bits
+    differently — candidate sets agree because packing is bijective).
+
+    Sizing r: random-pair band collision is ~2^-r, so candidate volume is
+    ~bands * n^2 / 2^r — pick r >= log2(n) for near-dup dedup (the
+    near-identical regime, cos >= 0.97, keeps per-band recall p^r high
+    because p = 1 - theta/pi is close to 1).
+
+    Implementation is a narrow numpy mapInPandas: Spark's higher-order
+    functions (transform/aggregate/zip_with) run INTERPRETED per element
+    — at 100k x 128 planes x 64 dims that is ~10^9 boxed ops (~250 s);
+    the numpy batch form computes the identical IEEE doubles (floor(x*w
+    + 0.5) per term, exact f64 integer sums < 2^53) in ~2 s. Values are
+    bit-equal to the expression form, so the DuckDB oracle is unchanged."""
+    import numpy as np
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+
+    r = planes // bands
+    W = np.array(plane_weights(planes, dim), dtype=np.float64) * 1e6
+    pw2 = (1 << np.arange(r - 1, -1, -1)).astype(np.int64)  # MSB-first fold
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        ", ".join(f"{c} {by_name[c]}" for c in df.columns)
+        + f", {out} array<bigint>"
+    )
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            n = len(X)
+            bits = np.empty((n, planes), dtype=np.int64)
+            block = max(1, (1 << 22) // (planes * dim))  # ~32 MB f64 temp
+            for s in range(0, n, block):
+                e = min(s + block, n)
+                t = np.floor(X[s:e, None, :] * W[None, :, :] + 0.5)
+                # per-term floored values < 2^30, 64-dim sums < 2^53:
+                # the f64 sum is EXACT and order-free
+                bits[s:e] = t.sum(axis=2) >= 0
+            keys = np.concatenate(
+                [bits[:, b * r : (b + 1) * r] @ pw2 for b in range(bands)]
+            ).reshape(bands, n).T
+            pdf = pdf.copy()
+            pdf[out] = list(keys)
+            yield pdf
+
+    return df.mapInPandas(go, out_schema)
+
+
 def ann_lsh_topk(
     df: DataFrame,
     query_vec_id: int,
@@ -289,34 +356,23 @@ def cosine_dup_pairs_lsh(
     never the all-pairs plan). Per-pair collision prob is
     1-(1-(1-theta/pi)^r)^b, so r/b tune recall vs candidate volume;
     near-identical embeddings (cos >= 0.9) are caught with near-certainty.
-    Probabilistic -> rows-only driver check + pytest recall floor."""
+    Recall is the banding curve; values are deterministic (md5-derived
+    literal weights) -> full DuckDB oracle. Size r = planes/bands >=
+    log2(corpus) at scale (see lsh_band_keys) — the r=2 default suits the
+    500-vector fixture only; at 100k vectors r=2 collides ~82% of RANDOM
+    pairs (quadratic candidates)."""
     r = planes // bands
-    sig_bits = lsh_signature(F.col(vec), planes, dim)
     # band rows carry IDS ONLY: the banded self-join + dedup shuffles
     # (band, key, id) rows, never the vectors — payloads re-attach by key
     # join after the candidate set is deduped (the candidate-local pattern,
-    # same as dedup.candidate_jaccard)
+    # same as dedup.candidate_jaccard). The index is cached + landed so
+    # the self-join's two sides don't recompute the projection chain.
     banded = (
-        df.select("vec_id", vec)
-        .withColumn("_sig", sig_bits)
-        .select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(bnd).alias("band"),
-                            F.shiftright(F.col("_sig"), bnd * r)
-                            .bitwiseAND(F.lit((1 << r) - 1))
-                            .alias("key"),
-                        )
-                        for bnd in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        lsh_band_keys(df.select("vec_id", vec), planes, bands, dim, vec)
+        .select("vec_id", F.posexplode("_keys").alias("band", "key"))
+        .cache()
     )
+    banded.count()
     a = banded.select("band", "key", F.col("vec_id").alias("vec_id_a"))
     b = banded.select("band", "key", F.col("vec_id").alias("vec_id_b"))
     cand_ids = (
@@ -324,19 +380,42 @@ def cosine_dup_pairs_lsh(
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b")
         .distinct()
+        .cache()  # feeds both re-attach joins; don't re-run the self-join
     )
+    cand_ids.count()
     va = df.select(F.col("vec_id").alias("vec_id_a"), F.col(vec).alias("_va"))
     vb = df.select(F.col("vec_id").alias("vec_id_b"), F.col(vec).alias("_vb"))
     cands = cand_ids.join(va, "vec_id_a").join(vb, "vec_id_b")
-    dot = _sumlong(_dot_terms(F.col("_va"), F.col("_vb")))
-    na = _sumlong(_dot_terms(F.col("_va"), F.col("_va")))
-    nb = _sumlong(_dot_terms(F.col("_vb"), F.col("_vb")))
-    cos = dot.cast("double") / (
-        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
-    )
-    return (
-        cands.select("vec_id_a", "vec_id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+
+    # exact-cosine verify in numpy (the scaled-int64 rule: per-term
+    # floor(x*y*1e12 + 0.5), terms < 2^53 so f64 sums are exact — values
+    # bit-equal to the Column-expression form, which runs interpreted per
+    # element and dominated wall at >10^5 candidates)
+    import numpy as np
+
+    def _verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a = np.stack(pdf["_va"].to_numpy()).astype(np.float64)
+            b = np.stack(pdf["_vb"].to_numpy()).astype(np.float64)
+            dot = np.floor(a * b * SCALE + 0.5).sum(axis=1)
+            na = np.floor(a * a * SCALE + 0.5).sum(axis=1)
+            nb = np.floor(b * b * SCALE + 0.5).sum(axis=1)
+            cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_id_a": pdf["vec_id_a"].to_numpy()[keep],
+                    "vec_id_b": pdf["vec_id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    import pandas as pd
+
+    return cands.mapInPandas(
+        _verify, "vec_id_a long, vec_id_b long, cosine double"
     )
 
 
