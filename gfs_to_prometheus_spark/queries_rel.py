@@ -1239,3 +1239,58 @@ def label_rewrite_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.select(k2.alias("series_key")).groupBy("series_key").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+_QOT_SQL = """
+WITH s AS (
+    SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+           value,
+           row_number() OVER (
+               PARTITION BY event_type, (epoch_ms(ts) // 3600000)
+               ORDER BY value) - 1 AS rn,
+           count(*) OVER (
+               PARTITION BY event_type, (epoch_ms(ts) // 3600000)) AS n
+    FROM events
+)
+SELECT event_type, bucket_ms,
+       min(CASE WHEN rn = CAST(floor((n-1) * CAST(0.5 AS DOUBLE)) AS BIGINT)
+                THEN value END)
+       + ((n-1) * CAST(0.5 AS DOUBLE)
+          - floor((n-1) * CAST(0.5 AS DOUBLE)))
+         * (min(CASE WHEN rn = CAST(ceil((n-1) * CAST(0.5 AS DOUBLE)) AS BIGINT)
+                     THEN value END)
+            - min(CASE WHEN rn = CAST(floor((n-1) * CAST(0.5 AS DOUBLE)) AS BIGINT)
+                       THEN value END))
+           AS q50
+FROM s GROUP BY event_type, bucket_ms, n
+"""
+
+
+@query("quantile_over_time_1h", _QOT_SQL)
+def quantile_over_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL quantile_over_time(0.5, m[1h]): exact per-bucket quantile
+    with PromQL's linear interpolation (rank = q*(n-1)), the explicit
+    rank/blend formula so both engines produce bit-identical doubles.
+    (The at-scale fixed-memory estimator is histogram_quantile; this is
+    the exact form, same trade as A8's p95.)"""
+    ev = load(spark, sf_dir, "events")
+    from .timeutil import bucket_ms
+
+    b = bucket_ms("ts", 3600)
+    w = W.partitionBy("event_type", b).orderBy("value")
+    s = ev.select(
+        "event_type",
+        b.alias("bucket_ms"),
+        "value",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type", b)).alias("n"),
+    )
+    k = (F.col("n") - 1) * F.lit(0.5)
+    lo = F.min(F.when(F.col("rn") == F.floor(k).cast("long"), F.col("value")))
+    hi = F.min(F.when(F.col("rn") == F.ceil(k).cast("long"), F.col("value")))
+    frac = k - F.floor(k)
+    return (
+        s.groupBy("event_type", "bucket_ms", "n")
+        .agg((lo + frac * (hi - lo)).alias("q50"))
+        .select("event_type", "bucket_ms", "q50")
+    )
