@@ -74,22 +74,37 @@ class Engine:
         by: Sequence[str] | None = None,
         start_ms: int | None = None,
         end_ms: int | None = None,
+        offset_s: int = 0,
     ) -> DataFrame:
         """Aggregate per (by, step-bucket) from the best tier; time-range
-        predicates prune day partitions before the scan."""
+        predicates prune day partitions before the scan.
+
+        ``offset_s`` is the PromQL ``offset`` modifier: evaluate over data
+        shifted ``offset_s`` into the past but REPORT at the requested
+        timestamps (bucket_ms in the output stays request-aligned). The
+        offset must preserve bucket alignment (a multiple of the step),
+        exactly like PromQL's rule that offsets respect the resolution."""
         step_s = TIERS[step] if isinstance(step, str) else int(step)
+        off_ms = offset_s * 1000
+        if offset_s and offset_s % step_s != 0:
+            raise ValueError(
+                f"offset {offset_s}s must be a multiple of step {step_s}s"
+            )
         tname, tstep = self._best_tier(step_s)
         df = self.tier(tname)
         if start_ms is not None:
-            df = df.filter(F.col("bucket_ms") >= start_ms)
+            df = df.filter(F.col("bucket_ms") >= start_ms - off_ms)
         if end_ms is not None:
-            df = df.filter(F.col("bucket_ms") < end_ms)
+            df = df.filter(F.col("bucket_ms") < end_ms - off_ms)
         by = list(by) if by is not None else self.series
         if step_s != tstep:
             df = rollup_merge(df, step_s, series=self.series)
         if agg not in _AGG_COLS:
             raise ValueError(f"agg must be one of {sorted(_AGG_COLS)}")
-        return df.groupBy(*by, "bucket_ms").agg(_AGG_COLS[agg]().alias(agg))
+        out = df.groupBy(*by, "bucket_ms").agg(_AGG_COLS[agg]().alias(agg))
+        if off_ms:
+            out = out.withColumn("bucket_ms", F.col("bucket_ms") + off_ms)
+        return out
 
     def topk(
         self, k: int, step: str | int, measure: str = "sum_micro",
@@ -120,9 +135,15 @@ class Engine:
         )
         return _rate(samples, step_s, series=self.series)
 
-    def instant(self, at_ms: int, fill: str = "locf", lookback_s: int = 3600) -> DataFrame:
+    def instant(
+        self, at_ms: int, fill: str = "locf", lookback_s: int = 3600,
+        offset_s: int = 0,
+    ) -> DataFrame:
         """Point-in-time value per series: last observation within the
-        lookback window (Prometheus instant-vector staleness semantics)."""
+        lookback window (Prometheus instant-vector staleness semantics).
+        ``offset_s`` evaluates at ``at_ms - offset_s*1000`` (the PromQL
+        offset modifier); as_of_ms reports the actual sample time."""
+        at_ms = at_ms - offset_s * 1000
         t5 = self.tier("rollup_5m").filter(
             (F.col("bucket_ms") <= at_ms)
             & (F.col("bucket_ms") > at_ms - lookback_s * 1000)

@@ -1294,3 +1294,71 @@ def quantile_over_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((lo + frac * (hi - lo)).alias("q50"))
         .select("event_type", "bucket_ms", "q50")
     )
+
+
+@query(
+    "bottomk5_users",
+    f"""
+WITH agg AS (
+    SELECT event_type, user_id,
+           CAST(sum({sql_micro('value')}) AS BIGINT) AS sum_micro
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, sum_micro, rank FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY event_type ORDER BY sum_micro ASC, user_id ASC
+    ) AS rank FROM agg
+) WHERE rank <= 5
+""",
+)
+def bottomk5_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL bottomk(5, sum by (user)) per event_type."""
+    from . import rollup as rollup_mod
+
+    return rollup_mod.bottomk(
+        load(spark, sf_dir, "events").withColumn("sum_micro", micro("value")),
+        k=5,
+        by=["user_id"],
+        rank_within=["event_type"],
+    )
+
+
+@query(
+    "present_over_time_1h",
+    """
+SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+       CAST(1 AS BIGINT) AS present
+FROM events GROUP BY 1, 2
+""",
+)
+def present_over_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL present_over_time(m[1h]): 1 for every (series, bucket) with
+    at least one sample (the grid + anti-join gives absent())."""
+    from .timeutil import bucket_ms
+
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", bucket_ms("ts", 3600).alias("bucket_ms"))
+        .agg(F.lit(1).cast("long").alias("present"))
+    )
+
+
+@query(
+    "count_values_1h",
+    f"""
+SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+       {sql_micro('value')} AS value_micro, count(*) AS n
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def count_values_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL count_values("v", m[1h]): occurrences per distinct value per
+    (series, bucket) — int64-micro keys so value equality is exact."""
+    from .timeutil import bucket_ms
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        bucket_ms("ts", 3600).alias("bucket_ms"),
+        micro("value").alias("value_micro"),
+    ).agg(F.count(F.lit(1)).alias("n"))

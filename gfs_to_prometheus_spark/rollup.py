@@ -113,3 +113,24 @@ def topk(
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def bottomk(
+    tier: DataFrame,
+    k: int,
+    by: Sequence[str],
+    rank_within: Sequence[str],
+    measure: str = "sum_micro",
+) -> DataFrame:
+    """PromQL ``bottomk(k, ...)``: topk's ascending twin — rank window +
+    filter, never a global sort; ties broken by the entity key."""
+    from pyspark.sql import Window as W
+
+    agg = tier.groupBy(*rank_within, *by).agg(F.sum(measure).alias(measure))
+    w = W.partitionBy(*rank_within).orderBy(
+        F.asc(measure), *[F.asc(c) for c in by]
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

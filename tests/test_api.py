@@ -100,3 +100,36 @@ def test_select_series_matchers(spark):
     assert got == {1.0}
     got = {r["value"] for r in select_series(df, {"type": "=~click|x"}).collect()}
     assert got == {1.0, 2.0, 3.0}
+
+
+def test_offset_modifier(engine):
+    """PromQL offset: same values as the unshifted query over the shifted
+    window, reported at request-aligned timestamps."""
+    import pytest as _pt
+
+    rows = sorted(
+        (r["series_key"], r["bucket_ms"], r["sum"])
+        for r in engine.range_query("sum", step="1h").collect()
+    )
+    assert rows
+    start = min(b for _, b, _ in rows)
+    off = engine.range_query(
+        "sum", step="1h", start_ms=start + 3_600_000, offset_s=3600
+    ).collect()
+    got = sorted((r["series_key"], r["bucket_ms"], r["sum"]) for r in off)
+    want = sorted(
+        (s, b + 3_600_000, v)
+        for s, b, v in rows
+        if b + 3_600_000 >= start + 3_600_000
+    )
+    assert got == want
+    with _pt.raises(ValueError, match="multiple of step"):
+        engine.range_query("sum", step="1h", offset_s=1800)
+    # instant with offset == instant evaluated in the past
+    at = max(b for _, b, _ in rows) + 600_000
+    a = {r["series_key"]: r["value"] for r in engine.instant(at).collect()}
+    b = {
+        r["series_key"]: r["value"]
+        for r in engine.instant(at + 7_200_000, offset_s=7200).collect()
+    }
+    assert a == b
