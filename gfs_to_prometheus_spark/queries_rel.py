@@ -1362,3 +1362,82 @@ def count_values_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_ms("ts", 3600).alias("bucket_ms"),
         micro("value").alias("value_micro"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "tpch_q6",
+    f"""
+SELECT CAST(sum({sql_micro('l_extendedprice * l_discount')}) AS BIGINT)
+           AS revenue_micro,
+       count(*) AS cnt
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+  AND l_discount BETWEEN CAST(0.03 AS DOUBLE) AND CAST(0.09 AS DOUBLE)
+  AND l_quantity < 24
+""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pushdown showcase — every predicate reaches the
+    parquet scan (PushedFilters on shipdate/discount/quantity), a single
+    global agg, no shuffle beyond the final 1-row combine."""
+    li = load(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.09)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(micro(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue_micro"
+        ),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "tpch_q3",
+    f"""
+SELECT l.l_orderkey,
+       CAST(sum({sql_micro('l.l_extendedprice * (1 - l.l_discount)')}) AS BIGINT)
+           AS revenue_micro,
+       epoch_ms(o.o_orderdate) AS orderdate_ms
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate  > DATE '1995-03-15'
+GROUP BY 1, 3
+ORDER BY revenue_micro DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dims broadcast into the fact scan
+    (customer segment filter -> orders -> lineitem), group on the join
+    key, TakeOrdered top-10 (never a global sort)."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("date")
+    )
+    from .timeutil import epoch_ms
+
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    )
+    return (
+        j.groupBy("l_orderkey", epoch_ms("o_orderdate").alias("orderdate_ms"))
+        .agg(F.sum(micro(rev)).alias("revenue_micro"))
+        .select("l_orderkey", "revenue_micro", "orderdate_ms")
+        .orderBy(F.desc("revenue_micro"), F.asc("l_orderkey"))
+        .limit(10)
+    )
