@@ -59,3 +59,24 @@ def histogram_quantile(
         )
         expr = F.when(F.col(f"c{k}").cast("double") >= rank, interp).otherwise(expr)
     return b.select(*series, expr.alias("quantile"))
+
+
+def histogram_stats(
+    df: DataFrame,
+    series: Sequence[str] = ("event_type",),
+    value: str = "value",
+) -> DataFrame:
+    """PromQL histogram_sum / histogram_count / histogram_avg: the _sum
+    and _count companion series of a histogram, and their ratio — exact
+    int64-micro sum with ONE double division (same one-pass agg family
+    as histogram_buckets)."""
+    from .timeutil import micro
+
+    return df.groupBy(*series).agg(
+        F.sum(micro(value)).alias("hist_sum_micro"),
+        F.count(F.lit(1)).alias("hist_count"),
+    ).withColumn(
+        "hist_avg_micro",
+        F.col("hist_sum_micro").cast("double")
+        / F.col("hist_count").cast("double"),
+    )

@@ -1441,3 +1441,21 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_micro"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "histogram_stats",
+    f"""
+SELECT event_type,
+       CAST(sum({sql_micro('value')}) AS BIGINT) AS hist_sum_micro,
+       count(*) AS hist_count,
+       CAST(CAST(sum({sql_micro('value')}) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS hist_avg_micro
+FROM events GROUP BY 1
+""",
+)
+def histogram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL histogram_sum/_count/_avg companions per series."""
+    from .histogram import histogram_stats
+
+    return histogram_stats(load(spark, sf_dir, "events"))
