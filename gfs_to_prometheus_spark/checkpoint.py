@@ -88,9 +88,18 @@ def write_partitioned(
     )
 
 
+# Checksum formula version. v2 (round 3+): columns hashed in NAME order,
+# partition column cast to string. Lineage rows written by v1 (rounds 1-2:
+# select-order columns, native part type) carry checksums this code cannot
+# reproduce — an audit comparing STORED lineage checksums against recomputed
+# ones must skip rows whose job predates v2 (resume itself is unaffected:
+# completed_parts only reads the part column).
+CHECKSUM_FORMULA = "v2-namesorted-strpart"
+
+
 def partition_stats(df: DataFrame, part_col: str = "part") -> list[tuple[str, int, int]]:
     """(part, rows, order-independent checksum) per partition — the counter
-    metrics written alongside each commit."""
+    metrics written alongside each commit. Formula: ``CHECKSUM_FORMULA``."""
     # bit_xor: order-independent and overflow-free (ANSI mode rejects
     # overflowing sums of hashes). Columns are hashed in NAME order and the
     # partition column is normalized to string, so the checksum of a

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from . import cachereg
 from .hashing import MERSENNE31, MOD31, md5_lower64, minhash_coeffs
 from .text import ws_tokens
 
@@ -79,6 +80,7 @@ def jaccard_pairs(
     computed over the surviving rare-shingle vocabulary, so the
     resulting jaccard is self-consistent over that vocabulary.
     """
+    cachereg.release()  # free the previous invocation's intermediates
     sh = shingles(df, text, n)
     if max_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -95,10 +97,10 @@ def jaccard_pairs(
     # key compares drop ~5x. cache() (columnar, ~5x faster than the
     # Java-serialized localCheckpoint blocks) + count() so the cache lands
     # before the consumer stages fan out (else each recomputes the chain).
-    sh = sh.select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
-    ).cache()
-    sh.count()
+    sh = cachereg.cached(
+        sh.select("doc_id", F.xxhash64("shingle").alias("shingle")),
+        eager=True,
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -184,6 +186,7 @@ def minhash_lsh_candidates(
     the signature matches exactly. Verified pairs carry the exact jaccard,
     so precision is 1.0; recall follows the (1-(1-s^r)^b) curve.
     """
+    cachereg.release()  # free the previous invocation's intermediates
     r = k // bands
     mins = _minhash_mins(df, k, text, n)
     # one int64 band key per (doc, band): xxhash64 over the band's min
@@ -209,8 +212,8 @@ def minhash_lsh_candidates(
         ).alias("pos", "bk"),
     ).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    ).cache()
-    banded.count()  # land the cache before the self-join's two reads
+    )
+    banded = cachereg.cached(banded, eager=True)  # land before the self-join's two reads
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(b, ["band", "key"])
@@ -219,8 +222,8 @@ def minhash_lsh_candidates(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .cache()  # tiny; verify must not re-run banding
     )
+    cands = cachereg.cached(cands)  # tiny; verify must not re-run banding
     sh = shingles(df, text, n)
     verified = candidate_jaccard(cands, sh)
     return verified.filter(F.col("jaccard") >= threshold).select(
@@ -240,10 +243,10 @@ def candidate_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
     """
     # hash the join key + one columnar-cached compute for 3 consumers
     # (see jaccard_pairs for the cache-vs-checkpoint rationale)
-    sh = sh.select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
-    ).cache()
-    sh.count()
+    sh = cachereg.cached(
+        sh.select("doc_id", F.xxhash64("shingle").alias("shingle")),
+        eager=True,
+    )
     # restrict the index to CANDIDATE DOCS before anything shuffles: the
     # semi-joins keep each candidate doc's full shingle set but drop the
     # (usually vast) non-candidate majority, so shuffle volume tracks the
@@ -318,9 +321,10 @@ def simhash_dup_pairs(
     band equi-join loses nothing. Verification (bit_count of xor) runs on
     band-collision candidates only; cost ~ docs x bands + candidate pairs.
     """
+    cachereg.release()  # free the previous invocation's intermediates
     bands = max_hamming + 1
     r = bits // bands
-    sh = simhash(df, text, bits).cache()
+    sh = cachereg.cached(simhash(df, text, bits))
     widths = [r + (1 if b < bits % bands else 0) for b in range(bands)]
     offs = [sum(widths[:b]) for b in range(bands)]
     banded = sh.select(

@@ -102,6 +102,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         cid, size = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = pos + 8
         if cid == b"fmt ":
+            # bounds-check before unpack: a truncated fmt chunk must hit the
+            # documented ValueError contract, not struct.error
+            if body + 16 > len(payload):
+                raise ValueError("truncated fmt chunk")
             fmt, channels, rate = struct.unpack("<HHI", payload[body : body + 8])
             bits = struct.unpack("<H", payload[body + 14 : body + 16])[0]
             if fmt != 1:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window as W, functions as F
 
+from . import cachereg
 from .hashing import plane_weights
 
 SCALE = 1_000_000_000_000.0  # 1e12: float32 pairs scaled into int64 safely
@@ -361,18 +362,18 @@ def cosine_dup_pairs_lsh(
     log2(corpus) at scale (see lsh_band_keys) — the r=2 default suits the
     500-vector fixture only; at 100k vectors r=2 collides ~82% of RANDOM
     pairs (quadratic candidates)."""
+    cachereg.release()  # free the previous invocation's intermediates
     r = planes // bands
     # band rows carry IDS ONLY: the banded self-join + dedup shuffles
     # (band, key, id) rows, never the vectors — payloads re-attach by key
     # join after the candidate set is deduped (the candidate-local pattern,
     # same as dedup.candidate_jaccard). The index is cached + landed so
     # the self-join's two sides don't recompute the projection chain.
-    banded = (
+    banded = cachereg.cached(
         lsh_band_keys(df.select("vec_id", vec), planes, bands, dim, vec)
-        .select("vec_id", F.posexplode("_keys").alias("band", "key"))
-        .cache()
+        .select("vec_id", F.posexplode("_keys").alias("band", "key")),
+        eager=True,
     )
-    banded.count()
     a = banded.select("band", "key", F.col("vec_id").alias("vec_id_a"))
     b = banded.select("band", "key", F.col("vec_id").alias("vec_id_b"))
     cand_ids = (
@@ -380,9 +381,9 @@ def cosine_dup_pairs_lsh(
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b")
         .distinct()
-        .cache()  # feeds both re-attach joins; don't re-run the self-join
     )
-    cand_ids.count()
+    # feeds both re-attach joins; don't re-run the self-join
+    cand_ids = cachereg.cached(cand_ids, eager=True)
     va = df.select(F.col("vec_id").alias("vec_id_a"), F.col(vec).alias("_va"))
     vb = df.select(F.col("vec_id").alias("vec_id_b"), F.col(vec).alias("_vb"))
     cands = cand_ids.join(va, "vec_id_a").join(vb, "vec_id_b")

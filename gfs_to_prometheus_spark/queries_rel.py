@@ -1415,9 +1415,14 @@ LIMIT 10
 """,
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: selective dims broadcast into the fact scan
-    (customer segment filter -> orders -> lineitem), group on the join
-    key, TakeOrdered top-10 (never a global sort)."""
+    """TPC-H Q3 shape: broadcast the SMALL dim only (customer, ~150k
+    rows/SF after the segment filter) into orders; orders⋈lineitem are
+    both fact-scale (the date filter keeps ~half of orders — at 100x a
+    broadcast there OOMs every executor), so that join runs as a shuffle
+    hash join on the equi-key l_orderkey (AQE picks SMJ/SHJ at runtime).
+    Group on the join key, TakeOrdered top-10 (never a global sort).
+    Plan-asserted: no BroadcastExchange on the orders/lineitem inputs
+    (tests/test_bucketing.py::test_tpch_q3_no_fact_broadcast)."""
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -1431,8 +1436,8 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     j = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                li.l_orderkey == o.o_orderkey)
     )
     return (
         j.groupBy("l_orderkey", epoch_ms("o_orderdate").alias("orderdate_ms"))

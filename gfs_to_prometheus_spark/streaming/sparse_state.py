@@ -42,32 +42,39 @@ def _update(
         last_ts, last_val, has_last = state.get
     else:
         last_ts, last_val, has_last = -1, 0.0, False
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
+    # applyInPandasWithState hands one group's micro-batch as MULTIPLE
+    # Arrow chunks (~10k rows each) with no cross-chunk ts ordering after
+    # the shuffle; per-chunk processing would drop a later chunk's earlier
+    # timestamps as "late" and miss ties split across chunks. Materialize
+    # the whole micro-batch (state stays O(1); a micro-batch per series is
+    # bounded by trigger interval x ingest rate) and scan once.
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    batch = pd.concat(parts, ignore_index=True) if parts else None
+    if batch is not None:
         # ts-tie dedup to max(value), then ts order (batch-operator rule)
-        g = pdf.groupby("ts_ms", as_index=False)["value"].max().sort_values(
+        g = batch.groupby("ts_ms", as_index=False)["value"].max().sort_values(
             "ts_ms"
         )
         ts = g["ts_ms"].to_numpy(np.int64)
         vals = g["value"].to_numpy(np.float64)
         live = ts > last_ts  # late samples: dropped (see module doc)
         ts, vals = ts[live], vals[live]
-        if not len(ts):
-            continue
-        prev = np.concatenate([[last_val if has_last else np.nan], vals[:-1]])
-        emit = vals != prev  # NaN != x is True -> first sample emits
-        if has_last is False:
-            emit[0] = True
-        if emit.any():
-            yield pd.DataFrame(
-                {
-                    "series_key": key[0],
-                    "ts_ms": ts[emit],
-                    "value": vals[emit],
-                }
+        if len(ts):
+            prev = np.concatenate(
+                [[last_val if has_last else np.nan], vals[:-1]]
             )
-        last_ts, last_val, has_last = int(ts[-1]), float(vals[-1]), True
+            emit = vals != prev  # NaN != x is True -> first sample emits
+            if has_last is False:
+                emit[0] = True
+            if emit.any():
+                yield pd.DataFrame(
+                    {
+                        "series_key": key[0],
+                        "ts_ms": ts[emit],
+                        "value": vals[emit],
+                    }
+                )
+            last_ts, last_val, has_last = int(ts[-1]), float(vals[-1]), True
     state.update((last_ts, last_val, has_last))
 
 

@@ -51,8 +51,16 @@ def compact(
     """Compact src_table's blocks into block_s-sized blocks in dst_table.
     Returns {"src_chunks": n, "dst_chunks": m, "samples": k} for the days
     compacted this run ({} when everything is already committed)."""
-    if (block_s * 1000) % 86_400_000 != 0 and 86_400_000 % (block_s * 1000) != 0:
-        raise ValueError(f"block_s={block_s} does not align with day partitions")
+    # The block must DIVIDE the day, not just align with it: a multi-day
+    # block (e.g. 604800s) would land all covered days' samples in the
+    # block-start day's partition while lineage marks only that day done —
+    # every re-run would re-encode a PARTIAL block and dynamic partition
+    # overwrite would replace full data with partial data (silent loss).
+    if 86_400_000 % (block_s * 1000) != 0:
+        raise ValueError(
+            f"block_s={block_s} must divide a day (86400): multi-day blocks "
+            "would cross day partitions and break per-day lineage/resume"
+        )
     from jobs.pipeline import _commit
 
     src_path = os.path.join(root, src_table)

@@ -36,3 +36,22 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_a")
         spark.sql("DROP TABLE IF EXISTS b_b")
+
+
+def test_tpch_q3_no_fact_broadcast(spark):
+    """The r3 scale-killer: tpch_q3 must not hint-broadcast the orders
+    side (fact-scale at TPC-H proportions; OOMs executors at 100x).
+    With auto-broadcast disabled, any BroadcastExchange left in the plan
+    comes from an explicit hint — exactly one is allowed (customer)."""
+    from gfs_to_prometheus_spark.queries import QUERIES
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = QUERIES["tpch_q3"](spark, "/root/testdata/sf0.01")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        n_bcast = plan.count("BroadcastExchange")
+        assert n_bcast == 1, f"expected only customer broadcast, plan:\n{plan[:3000]}"
+        # the lineitem⋈orders join must be a shuffle join on l_orderkey
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:3000]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")

@@ -188,3 +188,21 @@ def test_decoders_reject_or_parse_garbage(data):
             dec(data)
         except (ValueError, IndexError):
             pass
+
+
+def test_decode_wav_truncated_fmt_chunk_raises_valueerror():
+    """A fmt chunk whose declared size runs past the payload must hit the
+    documented ValueError contract, not struct.error (ADVICE r3)."""
+    import pytest as _pytest
+
+    from gfs_to_prometheus_spark.operators import multimodal as mm
+
+    import struct as _struct
+
+    # valid RIFF/WAVE prefix, fmt header declaring 16 bytes, only 4 present
+    payload = (
+        b"RIFF" + _struct.pack("<I", 24) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + b"\x01\x00\x01\x00"
+    )
+    with _pytest.raises(ValueError, match="truncated fmt"):
+        mm.decode_wav(payload)

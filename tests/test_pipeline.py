@@ -251,3 +251,18 @@ def test_compaction_lossless_and_resumable(spark, tmp_path):
     assert compact_job.compact(spark, out) == {}  # committed -> no-op
     lin = checkpoint.read_lineage(spark, out)
     assert lin.filter(F.col("table") == "chunks_1d").count() >= 1
+
+
+def test_compact_rejects_multi_day_block(spark):
+    """A block that is a MULTIPLE of a day (week) would cross day
+    partitions: lineage marks only the block-start day complete and every
+    re-run overwrites the full block with partial data (ADVICE r3).
+    Guard: block_s must DIVIDE the day."""
+    import pytest as _pytest
+
+    from jobs import compact as compact_job
+
+    with _pytest.raises(ValueError, match="divide a day"):
+        compact_job.compact(spark, "/nonexistent", block_s=604_800)
+    with _pytest.raises(ValueError, match="divide a day"):
+        compact_job.compact(spark, "/nonexistent", block_s=100_000)

@@ -91,3 +91,39 @@ def test_stream_drops_late_samples(spark, tmp_path):
         (r["ts_ms"], r["value"]) for r in spark.read.parquet(out).collect()
     }
     assert got == {(5000, 1.0), (6000, 2.0)}
+
+
+def test_multi_chunk_microbatch_orders_across_chunks(spark, tmp_path):
+    """applyInPandasWithState delivers one group's micro-batch as multiple
+    Arrow chunks with no cross-chunk ts ordering (ADVICE r3): with
+    maxRecordsPerBatch=2 a 9-row out-of-order micro-batch splits into
+    chunks whose later chunks hold EARLIER timestamps. Per-chunk scans
+    would drop those as late; the whole-batch concat must not."""
+    src, out, cp = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "cp")
+    os.makedirs(src)
+    # one series, one wave, ts deliberately shuffled so arrow chunking
+    # splits ties and out-of-order rows across chunk boundaries
+    rows = [
+        ("a", 7000, 4.0), ("a", 1000, 1.0), ("a", 5000, 3.0),
+        ("a", 2000, 1.0), ("a", 6000, 3.0), ("a", 3000, 2.0),
+        ("a", 4000, 2.0), ("a", 8000, 4.0), ("a", 8000, 9.0),  # tie -> max
+    ]
+    _write_wave(spark, src, rows, "w1")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        _run_once(spark, src, out, cp)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = {
+        (r["series_key"], r["ts_ms"]): r["value"]
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = gapfill.sparse_encode(
+        spark.createDataFrame(rows, SCHEMA),
+        series=("series_key",), ts="ts_ms",
+    )
+    want = {
+        (r["series_key"], r["ts_ms"]): r["value"] for r in batch.collect()
+    }
+    assert got == want
