@@ -75,9 +75,16 @@ class Engine:
         start_ms: int | None = None,
         end_ms: int | None = None,
         offset_s: int = 0,
+        matchers: dict[str, str] | None = None,
     ) -> DataFrame:
         """Aggregate per (by, step-bucket) from the best tier; time-range
         predicates prune day partitions before the scan.
+
+        ``matchers`` is the PromQL vector selector ({__name__="m",
+        label=~"re"} via :func:`select_series`) applied to the tier frame
+        BEFORE anything else — plain column predicates, so Catalyst pushes
+        them into the scan. ``by=[]`` aggregates across all matched series
+        (PromQL ``sum(...)`` with no ``by`` clause).
 
         ``offset_s`` is the PromQL ``offset`` modifier: evaluate over data
         shifted ``offset_s`` into the past but REPORT at the requested
@@ -92,6 +99,8 @@ class Engine:
             )
         tname, tstep = self._best_tier(step_s)
         df = self.tier(tname)
+        if matchers:
+            df = select_series(df, matchers, key=self.series[0])
         if start_ms is not None:
             df = df.filter(F.col("bucket_ms") >= start_ms - off_ms)
         if end_ms is not None:

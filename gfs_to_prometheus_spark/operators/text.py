@@ -10,6 +10,8 @@ reproduces results bit-for-bit.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
@@ -165,3 +167,84 @@ def term_doc_stats(df: DataFrame, text: str = "text") -> DataFrame:
     tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     return tf.join(dfreq, "tok").select("doc_id", "tok", "tf", "df")
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+) -> DataFrame:
+    """BM25 retrieval scoring with a RATIONAL idf — top-k docs for a fixed
+    query-term set.
+
+    score(d) = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)) with
+    idf_t = (N - df_t + 0.5)/(df_t + 0.5) — Robertson's idf WITHOUT the
+    log. The log is a per-term monotone reweighting whose only effect is
+    damping rare-term dominance; dropping it keeps the ranking family but
+    makes every arithmetic step an exactly-rounded IEEE op (+,-,*,/), so
+    the score is BIT-IDENTICAL across engines (libm log differs per
+    platform and would break exact oracles — the same reason
+    term_doc_stats leaves weighting to callers). Per-doc summation runs
+    over per-term COLUMNS in fixed left-to-right order, never a
+    shuffle-ordered SUM, so float addition order is deterministic too.
+
+    Scale shape: one explode + hash agg per doc (map-side partial), one
+    1-row global stats frame broadcast-cross-joined, TakeOrdered top-k —
+    no shuffle grows with vocabulary, only with |docs matching ≥1 term|.
+    """
+    terms = list(terms)
+    base = df.select("doc_id", ws_tokens(text).alias("_toks"))
+    dls = base.select("doc_id", F.size("_toks").alias("dl"))
+    stats = dls.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sumdl")
+    )
+    ex = base.select("doc_id", F.explode("_toks").alias("tok"))
+    tf_cols = [
+        F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"tf{i + 1}")
+        for i, t in enumerate(terms)
+    ]
+    g = ex.groupBy("doc_id").agg(*tf_cols)
+    hit = None
+    for i in range(len(terms)):
+        c = F.col(f"tf{i + 1}") > 0
+        hit = c if hit is None else (hit | c)
+    g = g.filter(hit)  # zero-score docs drop (score would be exactly 0)
+    dfs = g.agg(
+        *[
+            F.sum((F.col(f"tf{i + 1}") > 0).cast("int"))
+            .cast("long")
+            .alias(f"df{i + 1}")
+            for i in range(len(terms))
+        ]
+    )
+    j = (
+        g.join(dls, "doc_id")
+        .crossJoin(F.broadcast(dfs))
+        .crossJoin(F.broadcast(stats))
+    )
+    nd = F.col("_n").cast("double")
+    avgdl = F.col("_sumdl").cast("double") / nd
+    dld = F.col("dl").cast("double")
+    score = None
+    for i in range(len(terms)):
+        tfd = F.col(f"tf{i + 1}").cast("double")
+        dfd = F.col(f"df{i + 1}").cast("double")
+        idf = ((nd - dfd) + F.lit(0.5)) / (dfd + F.lit(0.5))
+        num = tfd * (F.lit(k1) + F.lit(1.0))
+        den = tfd + (
+            F.lit(k1)
+            * ((F.lit(1.0) - F.lit(b)) + ((F.lit(b) * dld) / avgdl))
+        )
+        s = (idf * num) / den
+        score = s if score is None else (score + s)
+    out = j.select(
+        "doc_id",
+        *[f"tf{i + 1}" for i in range(len(terms))],
+        score.alias("score"),
+    )
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -876,3 +876,75 @@ FROM tf JOIN dfreq USING (tok)
 def term_doc_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The TF-IDF/BM25 term-document matrix (tf + df per doc-term)."""
     return text.term_doc_stats(load(spark, sf_dir, "documents"))
+
+
+def _bm25_oracle(terms: tuple[str, ...], k1: float, b: float, k: int) -> str:
+    """DuckDB twin of text.bm25_topk. Every float step is written with the
+    SAME expression shape (parenthesization + literal casts) as the Spark
+    Column tree, so each exactly-rounded IEEE op produces the same bits —
+    the score column hash-matches without any log/exp in sight (rational
+    idf; see bm25_topk docstring)."""
+    n = len(terms)
+    tf_cases = ",\n    ".join(
+        f"CAST(sum(CASE WHEN tok = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf{i+1}"
+        for i, t in enumerate(terms)
+    )
+    hit = " OR ".join(f"(tf{i+1} > 0)" for i in range(n))
+    df_cases = ",\n    ".join(
+        f"CAST(sum(CASE WHEN tf{i+1} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i+1}"
+        for i in range(n)
+    )
+    K1, B = f"CAST({k1!r} AS DOUBLE)", f"CAST({b!r} AS DOUBLE)"
+    ONE, HALF = "CAST(1.0 AS DOUBLE)", "CAST(0.5 AS DOUBLE)"
+    avgdl = "(CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    parts = []
+    for i in range(n):
+        tfd, dfd = f"CAST(tf{i+1} AS DOUBLE)", f"CAST(df{i+1} AS DOUBLE)"
+        idf = f"(((CAST(n AS DOUBLE) - {dfd}) + {HALF}) / ({dfd} + {HALF}))"
+        num = f"({tfd} * ({K1} + {ONE}))"
+        den = (
+            f"({tfd} + ({K1} * (({ONE} - {B}) + "
+            f"(({B} * CAST(dl AS DOUBLE)) / {avgdl}))))"
+        )
+        parts.append(f"(({idf} * {num}) / {den})")
+    score = " + ".join(parts)  # left-assoc in both engines
+    tfs = ", ".join(f"gh.tf{i+1}" for i in range(n))
+    return f"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+), dls AS (
+    SELECT doc_id, len(toks) AS dl FROM base
+), stats AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl
+    FROM dls
+), ex AS (
+    SELECT doc_id, unnest(toks) AS tok FROM base
+), g AS (
+    SELECT doc_id,
+    {tf_cases}
+    FROM ex GROUP BY 1
+), gh AS (
+    SELECT * FROM g WHERE {hit}
+), dfs AS (
+    SELECT
+    {df_cases}
+    FROM gh
+)
+SELECT gh.doc_id, {tfs}, {score} AS score
+FROM gh JOIN dls ON gh.doc_id = dls.doc_id, dfs, stats
+ORDER BY score DESC, gh.doc_id ASC LIMIT {k}
+"""
+
+
+_BM25_TERMS = ("spark", "merge", "window")
+
+
+@query("bm25_top10", _bm25_oracle(_BM25_TERMS, 1.2, 0.75, 10))
+def bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for a fixed 3-term query (rational-idf variant — the
+    log-free, cross-engine-exact corpus relevance scorer; builds on the
+    term_doc_stats backbone)."""
+    return text.bm25_topk(
+        load(spark, sf_dir, "documents"), _BM25_TERMS, k=10
+    )

@@ -1464,3 +1464,68 @@ def histogram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .histogram import histogram_stats
 
     return histogram_stats(load(spark, sf_dir, "events"))
+
+
+# -- api.Engine end-to-end (the composed query path, oracle-gated) ----------
+
+_ENG_START_MS = 1_704_844_800_000  # 2024-01-10T00:00Z (hour-aligned)
+_ENG_END_MS = 1_705_708_800_000    # 2024-01-20T00:00Z
+_ENG_OFF_MS = 86_400_000           # offset 1d (multiple of the 1h step)
+
+
+@query(
+    "engine_sum_1h_offset",
+    f"""
+SELECT ((epoch_ms(ts) // 3600000) * 3600000) + {_ENG_OFF_MS} AS bucket_ms,
+       CAST(sum({sql_micro('value')}) AS BIGINT) AS sum_micro
+FROM events
+WHERE event_type IN ('click', 'view')
+  AND epoch_ms(ts) >= {_ENG_START_MS} - {_ENG_OFF_MS}
+  AND epoch_ms(ts) <  {_ENG_END_MS} - {_ENG_OFF_MS}
+GROUP BY 1
+""",
+)
+def engine_sum_1h_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full user-facing API path in one query: materialize the 5m tier
+    + the 1h tier (merged from 5m, never from raw) to a TSDB root on disk,
+    then Engine.range_query composes PromQL select ({__name__, type=~re}
+    matchers over 'metric{k=v}' series keys) -> tier routing (1h step ->
+    1h tier) -> offset modifier (evaluate 1d in the past, report at the
+    requested buckets) -> sum across the matched series (by=[]).
+
+    This gates the COMPOSED surface (reference README.md:146-158 dashboard
+    queries) end-to-end: tier files on disk, matcher pushdown into the
+    scan, offset arithmetic, cross-series aggregation — not just the
+    operators in isolation."""
+    import hashlib
+    import tempfile
+
+    from .api import Engine
+    from .rollup import rollup, rollup_merge
+
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("events_value{type="), F.col("event_type"), F.lit("}")
+        ).alias("series_key"),
+        "ts",
+        "value",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"g2p_engine_e2e_{tag}")
+    r5 = rollup(ev, 300, series=("series_key",))
+    r5.write.mode("overwrite").parquet(os.path.join(root, "rollup_5m"))
+    r5d = spark.read.parquet(os.path.join(root, "rollup_5m"))
+    rollup_merge(r5d, 3600, series=("series_key",)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "rollup_1h"))
+    eng = Engine(spark, root)
+    out = eng.range_query(
+        "sum",
+        step="1h",
+        by=[],
+        start_ms=_ENG_START_MS,
+        end_ms=_ENG_END_MS,
+        offset_s=_ENG_OFF_MS // 1000,
+        matchers={"__name__": "events_value", "type": "=~click|view"},
+    )
+    return out.select("bucket_ms", F.col("sum").alias("sum_micro"))
