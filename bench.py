@@ -80,6 +80,41 @@ def main() -> None:
         per_query[name] = round(best, 4)
         total += best
 
+    # write-amortization path: 2h -> 1d block compaction (jobs/compact.py).
+    # Setup (encode + land the 2h chunk table) is untimed; the timed span
+    # is the compaction job itself — decode, re-encode at 1d, committed
+    # per-day with lineage, i.e. the full background-compactor slice.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from gfs_to_prometheus_spark import chunks as chunks_mod
+    from jobs import compact as compact_job
+
+    root = tempfile.mkdtemp(prefix="bench_compact_")
+    try:
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        samples = ev.select(
+            F.concat(
+                "event_type", F.lit("|"), F.col("user_id").cast("string")
+            ).alias("series_key"),
+            "ts",
+            "value",
+        )
+        ch = chunks_mod.encode_chunks(samples, series=("series_key",))
+        ch.withColumn(
+            "part",
+            F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"),
+        ).write.mode("overwrite").parquet(os.path.join(root, "chunks"))
+        t0 = time.perf_counter()
+        compact_job.compact(spark, root)
+        compact_dt = time.perf_counter() - t0
+        per_query["compact_2h_to_1d"] = round(compact_dt, 4)
+        total += compact_dt
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
     t0 = time.perf_counter()
     QUERIES["rollup_5m"](spark, sf_dir).count()
     rollup_dt = time.perf_counter() - t0

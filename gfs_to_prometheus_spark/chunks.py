@@ -78,12 +78,24 @@ def encode_chunks(
     )
     keys = [*series, "_block"]
     if salt > 1:
-        base = base.withColumn("_salt", F.pmod(F.xxhash64("_ts_ms"), F.lit(salt)))
+        # int32, not int64: the salt is pure partitioning ballast that also
+        # crosses the JVM->Python Arrow pipe — half the bytes, same split
+        base = base.withColumn(
+            "_salt", F.pmod(F.xxhash64("_ts_ms"), F.lit(salt)).cast("int")
+        )
         keys.append("_salt")
 
     out_schema = f"{_series_schema(df, series)}, {CHUNK_FIELDS}"
     series_l = list(series)
     sorted_base = base.repartition(*keys).sortWithinPartitions(*keys, "_ts_ms")
+    # Pipe-volume note (measured, BENCH/pipe_bytes.py + r4 A/B): dropping
+    # _block from the Arrow pipe and recomputing it python-side cuts the
+    # JVM->Python bytes 27% (44.5 -> 32.5 B/row) but makes the END-TO-END
+    # write path ~20% SLOWER at 4x2 executors — the pandas column insert +
+    # block-manager consolidation in the group scan costs more than the
+    # pipe transfer saves. The pipe is NOT the binding constraint at this
+    # byte range; python-side codec CPU is. So _block ships; only the salt
+    # is shrunk to i32 (no python-side rebuild needed for that one).
 
     def _encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
         t_all = pdf["_ts_ms"].to_numpy(np.int64)
