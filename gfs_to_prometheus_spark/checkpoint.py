@@ -26,6 +26,8 @@ import os
 import time
 from datetime import datetime, timezone
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 LINEAGE_SCHEMA = (
@@ -66,12 +68,25 @@ def append_lineage(
     wall_ms: int,
 ) -> None:
     """parts_stats: [(part, rows, sum_micro_checksum)]."""
+    if not parts_stats:
+        return
     now = datetime.now(timezone.utc).isoformat()
-    rows = [
-        (job_id, table, p, int(n), int(chk), int(wall_ms), now)
-        for p, n, chk in parts_stats
-    ]
-    spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(
+    # pandas carrier -> Arrow conversion path: createDataFrame on a plain
+    # list of tuples takes the pickled-python-RDD path, whose write costs
+    # ~5 s of fixed python-worker wall PER COMMIT on this host (measured;
+    # the Arrow path is ~0.2 s warm)
+    pdf = pd.DataFrame(
+        {
+            "job_id": job_id,
+            "table": table,
+            "part": [str(p) for p, _, _ in parts_stats],
+            "rows": [int(n) for _, n, _ in parts_stats],
+            "sum_micro_checksum": [int(c) for _, _, c in parts_stats],
+            "wall_ms": int(wall_ms),
+            "committed_utc": now,
+        }
+    )
+    spark.createDataFrame(pdf, LINEAGE_SCHEMA).coalesce(1).write.mode(
         "append"
     ).parquet(lineage_path(root))
 

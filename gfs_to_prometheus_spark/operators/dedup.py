@@ -80,7 +80,6 @@ def jaccard_pairs(
     computed over the surviving rare-shingle vocabulary, so the
     resulting jaccard is self-consistent over that vocabulary.
     """
-    cachereg.release()  # free the previous invocation's intermediates
     sh = shingles(df, text, n)
     if max_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -186,7 +185,6 @@ def minhash_lsh_candidates(
     the signature matches exactly. Verified pairs carry the exact jaccard,
     so precision is 1.0; recall follows the (1-(1-s^r)^b) curve.
     """
-    cachereg.release()  # free the previous invocation's intermediates
     r = k // bands
     mins = _minhash_mins(df, k, text, n)
     # one int64 band key per (doc, band): xxhash64 over the band's min
@@ -321,7 +319,6 @@ def simhash_dup_pairs(
     band equi-join loses nothing. Verification (bit_count of xor) runs on
     band-collision candidates only; cost ~ docs x bands + candidate pairs.
     """
-    cachereg.release()  # free the previous invocation's intermediates
     bands = max_hamming + 1
     r = bits // bands
     sh = cachereg.cached(simhash(df, text, bits))

@@ -212,6 +212,20 @@ def ann_lsh_topk(
     )
 
 
+def _local_frame(spark, data):
+    """Tiny (cid, vec) driver-local frame via the pandas/Arrow conversion
+    path — createDataFrame on a plain tuple list takes the pickled
+    python-RDD route, which costs seconds of fixed python-worker wall per
+    downstream job on this host (measured in checkpoint.append_lineage;
+    same mechanism here on every IVF query)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"_cid": [c for c, _ in data], "_cvec": [v for _, v in data]}
+    )
+    return spark.createDataFrame(pdf, "_cid int, _cvec array<float>")
+
+
 def ivf_centroids(
     df: DataFrame, n_lists: int = 16, vec: str = "embedding"
 ) -> DataFrame:
@@ -232,7 +246,7 @@ def ivf_centroids(
         .collect()
     )
     data = [(i + 1, [float(x) for x in r[vec]]) for i, r in enumerate(rows)]
-    return df.sparkSession.createDataFrame(data, "_cid int, _cvec array<float>")
+    return _local_frame(df.sparkSession, data)
 
 
 def ivf_index(
@@ -257,8 +271,11 @@ def ivf_index(
     if cents is None:
         cents = ivf_centroids(df, n_lists, vec)
     cdata = [(r["_cid"], [float(x) for x in r["_cvec"]]) for r in cents.collect()]
+    import pandas as _pd
+
     crow = df.sparkSession.createDataFrame(
-        [(cdata,)], "_cents array<struct<_cid:int,_cvec:array<float>>>"
+        _pd.DataFrame({"_cents": [cdata]}),
+        "_cents array<struct<_cid:int,_cvec:array<float>>>",
     )
     dists = F.transform(
         F.col("_cents"),
@@ -362,7 +379,6 @@ def cosine_dup_pairs_lsh(
     log2(corpus) at scale (see lsh_band_keys) — the r=2 default suits the
     500-vector fixture only; at 100k vectors r=2 collides ~82% of RANDOM
     pairs (quadratic candidates)."""
-    cachereg.release()  # free the previous invocation's intermediates
     r = planes // bands
     # band rows carry IDS ONLY: the banded self-join + dedup shuffles
     # (band, key, id) rows, never the vectors — payloads re-attach by key
@@ -442,7 +458,7 @@ def ivf_refine(
     data = [
         (cid, [float(v[p]) for p in sorted(v)]) for cid, v in sorted(by_list.items())
     ]
-    return df.sparkSession.createDataFrame(data, "_cid int, _cvec array<float>")
+    return _local_frame(df.sparkSession, data)
 
 
 def ivf_total_distance(df: DataFrame, cents: DataFrame, vec: str = "embedding"):
