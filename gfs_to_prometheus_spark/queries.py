@@ -487,7 +487,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bottomk5_users",           # A6/W5 top-k family
     "active_users_by_type",     # A5 distinct count
     "histogram_stats",          # A8 histogram _sum/_count/_avg companions
-    "quantile_over_time_1h",    # A8 over_time quantile
+    "pack_sequences_256",       # tokens-payload sequence packing (north-rule shape)
     "gapfill_linear_1h",        # §2.8 linear interpolation
     "sparse_roundtrip_locf_1h", # F6 sparse encode + §2.8 LOCF roundtrip law
     "chunk_roundtrip_salted",   # S8/W2/W3/§2.11 chunk codec + skew salting
@@ -553,6 +553,7 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
         "p95_value_by_type", "histogram_quantile_p90", "histogram_stats",
         "quantile_over_time_1h",
     ),
+    "packing": ("pack_sequences_256",),
     "gapfill": (
         "gapfill_locf_1h", "gapfill_linear_1h", "sparse_roundtrip_locf_1h",
     ),

@@ -948,3 +948,74 @@ def bm25_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_topk(
         load(spark, sf_dir, "documents"), _BM25_TERMS, k=10
     )
+
+
+_PACK_L = 256
+_PACK_B = 1024
+
+
+@query(
+    "pack_sequences_256",
+    f"""
+WITH d AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+), s AS (
+    SELECT doc_id, toks, len(toks) AS n_tok, doc_id // {_PACK_B} AS bucket
+    FROM d
+), pb AS (
+    SELECT bucket, CAST(sum(n_tok) AS BIGINT) AS btok FROM s GROUP BY 1
+), off AS (
+    SELECT bucket,
+           CAST(sum(btok) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                - btok AS BIGINT) AS boff
+    FROM pb
+), placed AS (
+    SELECT s.doc_id, s.toks,
+           off.boff
+           + CAST(sum(s.n_tok) OVER (PARTITION BY s.bucket ORDER BY s.doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - s.n_tok AS start
+    FROM s JOIN off USING (bucket)
+), ex AS (
+    SELECT doc_id,
+           CAST(CAST(md5_number_lower(unnest(toks)) AS HUGEINT) % 32768
+                AS INTEGER) AS tok,
+           start + generate_subscripts(toks, 1) - 1 AS gpos
+    FROM placed
+)
+SELECT gpos // {_PACK_L} AS seq_id,
+       md5(array_to_string(list(tok ORDER BY gpos), ',')) AS tokens_md5,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc_id
+FROM ex GROUP BY 1
+""",
+)
+def pack_sequences_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (the canonical LLM pretraining-data op, north-rule
+    input shape): tokenize documents to md5-derived int ids, pack the
+    doc-ordered token stream into 256-token training rows via the
+    two-level bucket prefix sum (never a global single-partition window
+    over docs). Token arrays compared as md5(join(tokens)) — full
+    token-level value equality without cross-engine array serialization."""
+    from .operators import packing
+
+    seqs = packing.pack_sequences(
+        packing.tokenize(load(spark, sf_dir, "documents")),
+        seq_len=_PACK_L,
+        bucket_docs=_PACK_B,
+    )
+    from pyspark.sql import functions as F
+
+    return seqs.select(
+        "seq_id",
+        F.md5(
+            F.array_join(
+                F.transform("tokens", lambda t: t.cast("string")), ","
+            )
+        ).alias("tokens_md5"),
+        "n_tok",
+        "n_docs",
+        "first_doc_id",
+    )
