@@ -440,3 +440,27 @@ def components_with_rounds(
         labels = new
         if changed == 0:
             return labels, rounds
+
+
+def contamination(
+    train: DataFrame, bench: DataFrame, text: str = "text", n: int = 3
+) -> DataFrame:
+    """Benchmark decontamination — the train/eval overlap scrub every
+    training-data pipeline runs before a corpus ships: per TRAIN doc, the
+    number of distinct n-gram shingles it shares with ANY benchmark doc
+    (downstream policy drops n_hits >= 1 or thresholds on it).
+
+    Plan: the benchmark shingle set is dedup'd BEFORE the join and is the
+    small side — benchmarks are tiny next to the corpus, so AQE broadcasts
+    it and the train side never shuffles; with a large benchmark it
+    degrades to one equi-join shuffle on the shingle key. At 100 TB join
+    on xxhash64(shingle) instead of the string (a collision can only ADD
+    a hit, the universal near-dup trade); string keys kept here so the
+    count is exactly DuckDB-reproducible."""
+    ts = shingles(train, text, n)
+    bs = shingles(bench, text, n).select("shingle").distinct()
+    return (
+        ts.join(bs, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -495,7 +495,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_token_roundtrip",       # D1 timestamp-delta tokens
     "resource_id_roundtrip",    # D4 compact resource ids
     "mutf8_series_roundtrip",   # D5 modified-UTF8
-    "gfs_archive_roundtrip",    # S1/S2 wire parity
+    "contamination_vs_bench",   # benchmark decontamination (n-gram overlap)
     "type_code_normalization",  # D6/D7
     # sources / sinks / pipeline plumbing
     "json_props_decode",        # S5 external-process JSON side channel
@@ -554,6 +554,7 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
         "quantile_over_time_1h",
     ),
     "packing": ("pack_sequences_256",),
+    "decontamination": ("contamination_vs_bench",),
     "gapfill": (
         "gapfill_locf_1h", "gapfill_linear_1h", "sparse_roundtrip_locf_1h",
     ),

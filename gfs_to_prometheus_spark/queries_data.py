@@ -1019,3 +1019,39 @@ def pack_sequences_256(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "first_doc_id",
     )
+
+
+@query(
+    "contamination_vs_bench",
+    """
+WITH toks AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, is_bench,
+           w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+    WHERE len(w) >= 3
+    UNION
+    SELECT DISTINCT doc_id, is_bench, trim(text) AS shingle
+    FROM toks WHERE len(w) < 3
+), bs AS (
+    SELECT DISTINCT shingle FROM sh WHERE is_bench
+)
+SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM sh JOIN bs USING (shingle)
+WHERE NOT sh.is_bench
+GROUP BY 1
+""",
+)
+def contamination_vs_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a deterministic 1/16 hash-sampled
+    'benchmark' subset: distinct shared-3-gram count per train doc."""
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    is_bench = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    )
+    return dedup.contamination(d.filter(~is_bench), d.filter(is_bench))
