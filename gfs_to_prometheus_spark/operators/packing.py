@@ -62,7 +62,13 @@ def pack_sequences(
     truncated — they straddle row boundaries exactly as the packed
     pretraining stream does.
 
-    Output: (seq_id, tokens array<int>, n_tok, n_docs, first_doc_id).
+    Output: (seq_id, tokens array<int>, n_tok, n_docs, first_doc_id,
+    bounds array<int>) — ``bounds`` holds the in-row positions where a
+    NEW document begins (its global token 0 landed in this row): the
+    attention-reset / loss-mask boundaries a packed pretraining batch
+    needs. A row fully inside one long document has an empty bounds
+    array; position 0 appears only when a document actually starts
+    there, so masks are exact across straddled rows.
 
     Cost shape: one agg + one join (bucket offsets, broadcast), one
     distributed window (within-bucket cumsum), one explode shuffle on
@@ -108,6 +114,7 @@ def pack_sequences(
     ).select(
         "doc_id",
         "_tok",
+        (F.col("_pos") == 0).alias("_is_doc_start"),
         (F.col("_start") + F.col("_pos")).alias("_gpos"),
     )
     ex = ex.withColumn(
@@ -125,5 +132,8 @@ def pack_sequences(
             F.count(F.lit(1)).alias("n_tok"),
             F.count_distinct("doc_id").alias("n_docs"),
             F.min("doc_id").alias("first_doc_id"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("_is_doc_start"), F.col("_sp")))
+            ).alias("bounds"),
         )
     )

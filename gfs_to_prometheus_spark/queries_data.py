@@ -981,11 +981,15 @@ WITH d AS (
     SELECT doc_id,
            CAST(CAST(md5_number_lower(unnest(toks)) AS HUGEINT) % 32768
                 AS INTEGER) AS tok,
+           generate_subscripts(toks, 1) = 1 AS is_doc_start,
            start + generate_subscripts(toks, 1) - 1 AS gpos
     FROM placed
 )
 SELECT gpos // {_PACK_L} AS seq_id,
        md5(array_to_string(list(tok ORDER BY gpos), ',')) AS tokens_md5,
+       md5(COALESCE(array_to_string(
+           list(gpos % {_PACK_L} ORDER BY gpos) FILTER (WHERE is_doc_start),
+           ','), '')) AS bounds_md5,
        CAST(count(*) AS BIGINT) AS n_tok,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        min(doc_id) AS first_doc_id
@@ -1015,6 +1019,11 @@ def pack_sequences_256(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("tokens", lambda t: t.cast("string")), ","
             )
         ).alias("tokens_md5"),
+        F.md5(
+            F.array_join(
+                F.transform("bounds", lambda b: b.cast("string")), ","
+            )
+        ).alias("bounds_md5"),
         "n_tok",
         "n_docs",
         "first_doc_id",

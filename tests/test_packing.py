@@ -63,3 +63,20 @@ def test_tokenize_shape(spark):
     assert out[0]["n_tok"] == 3 and len(out[0]["tokens"]) == 3
     assert out[1]["n_tok"] == 2
     assert all(0 <= t < packing.VOCAB for t in out[0]["tokens"])
+
+
+def test_pack_bounds_mark_doc_starts(spark):
+    """bounds = in-row positions of each document's FIRST token; rows
+    inside a straddling doc carry no phantom boundary at position 0."""
+    rows = [
+        (0, list(range(5)), 5),     # starts seq0 pos0
+        (1, list(range(12)), 12),   # starts seq0 pos5, straddles into seq1+2
+        (2, list(range(3)), 3),     # starts seq2 pos1
+    ]
+    out = {
+        r["seq_id"]: r
+        for r in _packed(spark, rows, seq_len=8, bucket_docs=4).collect()
+    }
+    assert out[0]["bounds"] == [0, 5]
+    assert out[1]["bounds"] == []      # fully inside doc 1 -> no reset
+    assert out[2]["bounds"] == [1]
