@@ -1529,3 +1529,60 @@ def engine_sum_1h_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         matchers={"__name__": "events_value", "type": "=~click|view"},
     )
     return out.select("bucket_ms", F.col("sum").alias("sum_micro"))
+
+
+@query(
+    "engine_rate_5m",
+    f"""
+WITH c AS (
+    SELECT event_type AS series_key, ts,
+           sum({sql_micro('value')}) OVER (
+               PARTITION BY event_type ORDER BY ts
+           ) % 10000000000 AS counter
+    FROM events
+), d AS (
+    SELECT series_key, ts, counter,
+           lag(counter) OVER (PARTITION BY series_key ORDER BY ts) AS prev
+    FROM c
+)
+SELECT series_key,
+       (epoch_ms(ts) // 300000) * 300000 AS bucket_ms,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                WHEN counter >= prev THEN counter - prev
+                ELSE counter END) AS BIGINT) AS increase,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                WHEN counter >= prev THEN counter - prev
+                ELSE counter END) AS DOUBLE) / 300.0 AS rate
+FROM d
+GROUP BY 1, 2
+""",
+)
+def engine_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine.rate end-to-end: counter samples -> Gorilla/DoD CHUNKS ON
+    DISK -> Engine decodes the chunk tier and computes the
+    reset-corrected rate. Gates the full raw-chunks read path of the API
+    (decode is bit-exact, so the rate equals the one computed from the
+    raw samples — which is what the oracle does)."""
+    import hashlib
+    import tempfile
+
+    from . import chunks as chunks_mod
+    from .api import Engine
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("series_key").orderBy("ts")
+    c = ev.select(
+        F.col("event_type").alias("series_key"), "ts", "value"
+    ).select(
+        "series_key",
+        "ts",
+        (F.sum(micro("value")).over(w) % F.lit(10_000_000_000))
+        .cast("double")
+        .alias("value"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"g2p_engine_rate_{tag}")
+    chunks_mod.encode_chunks(c, series=("series_key",)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "chunks"))
+    return Engine(spark, root).rate("5m")

@@ -19,9 +19,16 @@ rollup_merge does. Emission is outputMode=update (one row per TOUCHED
 bucket per micro-batch) — the sink upserts by (series, bucket), the same
 contract as the late-data MERGE path (late.py).
 
-Scale: state size = active (series, bucket) pairs, i.e. the series
-cardinality times the handful of open buckets — the watermark closes
-buckets; completed buckets stop being touched and cost nothing per batch.
+Scale: state size = active (series, bucket) pairs. WITHOUT a watermark
+the state store grows by one entry per closed bucket forever; pass
+``watermark_delay`` to bound it — the input gets an event-time watermark
+(which also drops samples later than the delay, exactly Prometheus's
+out-of-order policy: route older data through the batch MERGE path,
+late.py) and each bucket's state registers an event-time timeout at
+bucket_end + delay, after which it is REMOVED. Eviction + the watermark
+are a matched pair: the watermark guarantees no sample for an evicted
+bucket can arrive afterwards, so an evicted bucket can never be
+partially re-opened (which would emit undercounted aggregates).
 """
 
 from __future__ import annotations
@@ -43,7 +50,33 @@ OUTPUT_SCHEMA = (
 )
 
 
-def _update(
+def _make_update(step_ms: int, delay_ms: int | None):
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed bucket_end + delay: no more samples for
+            # this bucket can arrive -> free the state slot
+            state.remove()
+            return
+        if delay_ms is not None:
+            # applyInPandasWithState does NOT pre-filter late rows by the
+            # watermark — a straggler for an already-finalized (evicted)
+            # bucket would re-open it with partial aggregates and emit an
+            # undercounted upsert. Enforce the drop here: once the
+            # watermark passes this bucket's finalization point, its
+            # samples route to the batch MERGE path (late.py) instead.
+            finalize_at = int(key[1]) + step_ms + delay_ms
+            if finalize_at <= state.getCurrentWatermarkMs():
+                return
+        yield from _merge_batch(key, pdfs, state)
+        if delay_ms is not None and state.exists:
+            state.setTimeoutTimestamp(int(key[1]) + step_ms + delay_ms)
+
+    return _update
+
+
+def _merge_batch(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     # one group's micro-batch arrives as MULTIPLE Arrow chunks with no
@@ -84,10 +117,31 @@ def _update(
         )
 
 
-def rollup_stream(stream: DataFrame, step_s: int = 300) -> DataFrame:
+def rollup_stream(
+    stream: DataFrame,
+    step_s: int = 300,
+    watermark_delay: str | None = None,
+) -> DataFrame:
     """stream (series_key string, ts_ms long, value double) -> per-batch
-    updated (series, bucket) rollup rows; state survives restarts."""
+    updated (series, bucket) rollup rows; state survives restarts.
+
+    ``watermark_delay`` (e.g. "10 minutes") bounds the state store: see
+    the module docstring for the eviction/late-drop contract. Without it
+    state grows with every closed bucket (acceptable for bounded tests,
+    not for a long-running watch job)."""
     step_ms = step_s * 1000
+    delay_ms = None
+    if watermark_delay is not None:
+        stream = stream.withColumn(
+            "_event_time", F.timestamp_millis(F.col("ts_ms"))
+        ).withWatermark("_event_time", watermark_delay)
+        n, unit = watermark_delay.split()
+        delay_ms = int(n) * {
+            "second": 1_000, "seconds": 1_000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit]
     bucket = (F.floor(F.col("ts_ms") / F.lit(step_ms)) * step_ms).cast(
         "long"
     )
@@ -95,10 +149,14 @@ def rollup_stream(stream: DataFrame, step_s: int = 300) -> DataFrame:
         stream.withColumn("bucket_ms", bucket)
         .groupBy("series_key", "bucket_ms")
         .applyInPandasWithState(
-            _update,
+            _make_update(step_ms, delay_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if watermark_delay is None
+                else GroupStateTimeout.EventTimeTimeout
+            ),
         )
     )

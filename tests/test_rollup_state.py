@@ -127,3 +127,57 @@ def test_stream_rollup_multi_chunk_batch(spark, tmp_path):
     assert (r["last"], r["last_ts_ms"]) == (5.0, 50_000)
     assert (r["vmin"], r["vmax"], r["cnt"]) == (1.0, 5.0, 5)
     assert r["sum_micro"] == 15_000_000
+
+
+def test_watermark_bounds_state_and_drops_stragglers(spark, tmp_path):
+    """With watermark_delay, a sample older than the watermark is DROPPED
+    (the Prometheus out-of-order policy: route it through the batch MERGE
+    path) and the closed bucket's state is evicted instead of growing
+    forever — so the final tier equals the batch rollup of the on-time
+    waves only, and the straggler never partially re-opens its bucket."""
+    src, out, cp = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "cp")
+    os.makedirs(src)
+    w1 = [("a", 10_000, 1.0), ("a", 20_000, 3.0)]        # bucket 0
+    w2 = [("a", 4_000_000, 5.0)]                         # far ahead: watermark
+    w3 = [("a", 30_000, 99.0)]                           # straggler for bucket 0
+    for i, w in enumerate((w1, w2, w3)):
+        _write_wave(spark, src, w, f"w{i}")
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+
+    def sink(batch, batch_id):
+        if not batch.isEmpty():
+            batch.withColumn("_b", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(out)
+
+    q = (
+        rollup_state.rollup_stream(stream, 300, watermark_delay="1 minute")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["series_key"], r["bucket_ms"]): (r["sum_micro"], r["cnt"], r["last"])
+        for r in _latest(spark, out).collect()
+    }
+    batch = rollup(
+        spark.createDataFrame(w1 + w2, SCHEMA).select(
+            "series_key", F.timestamp_millis("ts_ms").alias("ts"), "value"
+        ),
+        300,
+        series=("series_key",),
+    )
+    want = {
+        (r["series_key"], r["bucket_ms"]): (r["sum_micro"], r["cnt"], r["last"])
+        for r in batch.collect()
+    }
+    assert got == want  # w3's straggler contributed nothing
