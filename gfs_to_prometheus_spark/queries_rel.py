@@ -1585,4 +1585,8 @@ def engine_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks_mod.encode_chunks(c, series=("series_key",)).write.mode(
         "overwrite"
     ).parquet(os.path.join(root, "chunks"))
-    return Engine(spark, root).rate("5m")
+    out = Engine(spark, root).rate("5m")
+    # chunk values are double, so the summed increase comes back double;
+    # the counter is integral micro units stored exactly, so the cast is
+    # lossless and restores the oracle's BIGINT schema
+    return out.withColumn("increase", F.col("increase").cast("long"))
