@@ -119,8 +119,27 @@ head chunks at ~120), bounding decode memory and keeping the
 mapInPandas carry buffer O(batch) even when one hot series' 2h block
 holds millions of samples.
 """
-    with open(os.path.join(HERE, "BASELINE.md"), "w") as f:
-        f.write(md)
+    # Regenerate ONLY this script's own sections (header + single-node
+    # table); PRESERVE everything that follows — ladder/recall/pipe
+    # sections appended by other BENCH scripts were silently truncated by
+    # the old full-file rewrite TWICE (r3 commit 9a01a04, r4 review).
+    out_path = os.path.join(HERE, "BASELINE.md")
+    tail = ""
+    marker = "\n## Chunk write-path scaling"
+    if os.path.exists(out_path):
+        cur = open(out_path).read()
+        i = cur.find(marker)
+        if i == -1:
+            # fall back: first section header that isn't one of ours
+            for m in ("\n## Near-dup", "\n## North-rule", "\n## Round-4",
+                      "\n### "):
+                i = cur.find(m)
+                if i != -1:
+                    break
+        if i != -1:
+            tail = cur[i:]
+    with open(out_path, "w") as f:
+        f.write(md + tail)
 
 
 if __name__ == "__main__":

@@ -34,18 +34,21 @@ MAX_LIVE = 8
 _LIVE: dict[str, DataFrame] = {}
 
 
-def _plan_key(df: DataFrame) -> str:
+def _plan_key(df: DataFrame) -> str | None:
     """Canonicalized analyzed-plan string — the same identity Spark's
     CacheManager uses for cache lookup (expression IDs normalized), so a
     re-built plan-equal frame refreshes its pool slot instead of adding a
     duplicate whose later eviction would unpersist the SHARED cache entry
-    out from under newer registrations."""
+    out from under newer registrations. Returns None when the plan string
+    is unavailable — the frame then stays cached but UNPOOLED (a bounded
+    leak), because an id()-style fallback key would re-create exactly the
+    duplicate-entry eviction hazard the key exists to prevent."""
     try:
         return (
             df._jdf.queryExecution().analyzed().canonicalized().toString()
         )
     except Exception:
-        return str(id(df))
+        return None
 
 
 def cached(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -58,8 +61,9 @@ def cached(df: DataFrame, eager: bool = False) -> DataFrame:
     """
     df = df.cache()
     key = _plan_key(df)
-    _LIVE.pop(key, None)  # refresh recency
-    _LIVE[key] = df
+    if key is not None:
+        _LIVE.pop(key, None)  # refresh recency
+        _LIVE[key] = df
     while len(_LIVE) > MAX_LIVE:
         _evict(_LIVE.pop(next(iter(_LIVE))))
     if eager:

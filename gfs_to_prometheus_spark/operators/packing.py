@@ -80,9 +80,10 @@ def pack_sequences(
         "doc_id",
         "tokens",
         F.coalesce(F.col("n_tok"), F.size("tokens")).alias("n_tok"),
-        (F.col("doc_id") / F.lit(bucket_docs))
-        .cast("long")
-        .alias("_bucket"),
+        # `div` = integer division: a double-division + cast routes the
+        # id through IEEE double and mis-buckets beyond 2^52 — real at
+        # the 10^12-sequence design point
+        F.expr(f"doc_id div {bucket_docs}").alias("_bucket"),
     )
     per_bucket = d.groupBy("_bucket").agg(F.sum("n_tok").alias("_btok"))
     w_b = (
@@ -118,7 +119,7 @@ def pack_sequences(
         (F.col("_start") + F.col("_pos")).alias("_gpos"),
     )
     ex = ex.withColumn(
-        "seq_id", (F.col("_gpos") / F.lit(seq_len)).cast("long")
+        "seq_id", F.expr(f"_gpos div {int(seq_len)}")  # exact int division
     ).withColumn("_sp", (F.col("_gpos") % seq_len).cast("int"))
     return (
         ex.groupBy("seq_id")

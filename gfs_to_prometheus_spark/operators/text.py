@@ -191,29 +191,35 @@ def bm25_topk(
     over per-term COLUMNS in fixed left-to-right order, never a
     shuffle-ordered SUM, so float addition order is deterministic too.
 
-    Scale shape: one explode + hash agg per doc (map-side partial), one
-    1-row global stats frame broadcast-cross-joined, TakeOrdered top-k —
-    no shuffle grows with vocabulary, only with |docs matching ≥1 term|.
+    Scale shape: the exploded token stream is filtered to the query
+    terms BEFORE the per-doc aggregation, so the tf shuffle carries only
+    matching (doc, term) rows — |docs matching ≥1 term| drives the
+    exchange, never the corpus (a 10^9-doc corpus with 10^4 matching
+    docs shuffles 10^4 grouped rows, not 10^9). Global N/avgdl come from
+    a separate 1-row stats agg (map-side partial over dl only) that is
+    broadcast-cross-joined; final selection is TakeOrdered top-k.
     """
     terms = list(terms)
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
     base = df.select("doc_id", ws_tokens(text).alias("_toks"))
     dls = base.select("doc_id", F.size("_toks").alias("dl"))
     stats = dls.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sumdl")
     )
-    ex = base.select("doc_id", F.explode("_toks").alias("tok"))
+    ex = base.select("doc_id", F.explode("_toks").alias("tok")).filter(
+        F.col("tok").isin(terms)
+    )
     tf_cols = [
         F.sum(F.when(F.col("tok") == t, 1).otherwise(0))
         .cast("long")
         .alias(f"tf{i + 1}")
         for i, t in enumerate(terms)
     ]
+    # the pre-filter means every surviving doc has >=1 matching token, so
+    # zero-score docs (which the ranking would only tie at 0) never reach
+    # the aggregation at all
     g = ex.groupBy("doc_id").agg(*tf_cols)
-    hit = None
-    for i in range(len(terms)):
-        c = F.col(f"tf{i + 1}") > 0
-        hit = c if hit is None else (hit | c)
-    g = g.filter(hit)  # zero-score docs drop (score would be exactly 0)
     dfs = g.agg(
         *[
             F.sum((F.col(f"tf{i + 1}") > 0).cast("int"))

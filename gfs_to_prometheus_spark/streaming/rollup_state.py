@@ -117,6 +117,29 @@ def _merge_batch(
         )
 
 
+_DELAY_UNITS_MS = {
+    "microsecond": 0.001, "millisecond": 1, "second": 1_000,
+    "minute": 60_000, "hour": 3_600_000, "day": 86_400_000,
+    "week": 604_800_000,
+}
+
+
+def _delay_ms(delay: str) -> int:
+    """Parse the Spark interval forms withWatermark accepts ("10 minutes",
+    "1 week", "500 milliseconds", any case, optional plural) — a delay the
+    watermark accepts but this raised on would crash the stream instead of
+    bounding its state."""
+    try:
+        n, unit = delay.strip().split()
+        ms = float(n) * _DELAY_UNITS_MS[unit.lower().rstrip("s")]
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"unsupported watermark_delay {delay!r}: expected '<n> "
+            f"<{'|'.join(_DELAY_UNITS_MS)}[s]>'"
+        ) from e
+    return int(ms)
+
+
 def rollup_stream(
     stream: DataFrame,
     step_s: int = 300,
@@ -135,13 +158,7 @@ def rollup_stream(
         stream = stream.withColumn(
             "_event_time", F.timestamp_millis(F.col("ts_ms"))
         ).withWatermark("_event_time", watermark_delay)
-        n, unit = watermark_delay.split()
-        delay_ms = int(n) * {
-            "second": 1_000, "seconds": 1_000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-            "day": 86_400_000, "days": 86_400_000,
-        }[unit]
+        delay_ms = _delay_ms(watermark_delay)
     bucket = (F.floor(F.col("ts_ms") / F.lit(step_ms)) * step_ms).cast(
         "long"
     )
