@@ -553,7 +553,7 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
         "p95_value_by_type", "histogram_quantile_p90", "histogram_stats",
         "quantile_over_time_1h",
     ),
-    "packing": ("pack_sequences_256",),
+    "packing": ("pack_sequences_256", "corpus_pipeline_pack"),
     "decontamination": ("contamination_vs_bench",),
     "gapfill": (
         "gapfill_locf_1h", "gapfill_linear_1h", "sparse_roundtrip_locf_1h",

@@ -1064,3 +1064,107 @@ def contamination_vs_bench(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
     )
     return dedup.contamination(d.filter(~is_bench), d.filter(is_bench))
+
+
+_PIPE_Q = 0.5  # quality threshold (exact double literal both engines)
+
+
+@query(
+    "corpus_pipeline_pack",
+    f"""
+WITH t AS (
+    SELECT doc_id, text,
+           regexp_split_to_array(trim(text), '\\s+') AS w,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) AS punct
+    FROM documents
+), f AS (
+    SELECT doc_id, text,
+           CAST(len(w) AS DOUBLE) AS n_ws,
+           punct / n_chars AS punct_ratio,
+           CAST(len(list_filter(w, x -> lower(x) IN ({_STOP_SQL}))) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) AS stop_ratio
+    FROM t
+), keep AS (
+    SELECT doc_id, text FROM f
+    WHERE stop_ratio * 0.4
+          + (CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + punct_ratio * 10.0)) * 0.4
+          + least(n_ws / 100.0, CAST(1.0 AS DOUBLE)) * 0.2 >= {_PIPE_Q}
+), surv AS (
+    SELECT k.doc_id, k.text
+    FROM keep k
+    JOIN (SELECT min(doc_id) AS doc_id FROM keep GROUP BY md5(text)) s
+    USING (doc_id)
+), d AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM surv
+), s AS (
+    SELECT doc_id, toks, len(toks) AS n_tok, doc_id // {_PACK_B} AS bucket
+    FROM d
+), pb AS (
+    SELECT bucket, CAST(sum(n_tok) AS BIGINT) AS btok FROM s GROUP BY 1
+), off AS (
+    SELECT bucket,
+           CAST(sum(btok) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                - btok AS BIGINT) AS boff
+    FROM pb
+), placed AS (
+    SELECT s.doc_id, s.toks,
+           off.boff
+           + CAST(sum(s.n_tok) OVER (PARTITION BY s.bucket ORDER BY s.doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           - s.n_tok AS start
+    FROM s JOIN off USING (bucket)
+), ex AS (
+    SELECT doc_id,
+           CAST(CAST(md5_number_lower(unnest(toks)) AS HUGEINT) % 32768
+                AS INTEGER) AS tok,
+           start + generate_subscripts(toks, 1) - 1 AS gpos
+    FROM placed
+)
+SELECT gpos // {_PACK_L} AS seq_id,
+       md5(array_to_string(list(tok ORDER BY gpos), ',')) AS tokens_md5,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc_id
+FROM ex GROUP BY 1
+""",
+)
+def corpus_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline END-TO-END in one declarative plan:
+    quality-filter (Gopher/C4-style blend) -> exact-dedup survivor set
+    (min doc_id per content digest, one shuffle on the digest) ->
+    tokenize -> pack into 256-token training rows. This is the
+    composition a 100 TB corpus actually runs nightly; Catalyst fuses
+    the filter+digest stages into the scan side, and every stage is the
+    already-gated operator (quality_scores / exact_dups / pack_sequences)
+    — the query proves they compose without re-materialization."""
+    from pyspark.sql import functions as F
+
+    from .operators import packing
+
+    d = load(spark, sf_dir, "documents")
+    q = text.quality_scores(d).filter(F.col("quality") >= _PIPE_Q).select(
+        "doc_id"
+    )
+    keep = d.join(q, "doc_id", "left_semi").select("doc_id", "text")
+    keepers = (
+        keep.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = keep.join(keepers, "doc_id", "left_semi")
+    seqs = packing.pack_sequences(
+        packing.tokenize(surv), seq_len=_PACK_L, bucket_docs=_PACK_B
+    )
+    return seqs.select(
+        "seq_id",
+        F.md5(
+            F.array_join(
+                F.transform("tokens", lambda t: t.cast("string")), ","
+            )
+        ).alias("tokens_md5"),
+        "n_tok",
+        "n_docs",
+        "first_doc_id",
+    )
