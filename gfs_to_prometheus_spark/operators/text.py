@@ -254,3 +254,70 @@ def bm25_topk(
         score.alias("score"),
     )
     return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def chunk_documents(
+    df: DataFrame, size: int = 200, stride: int = 150, text: str = "text"
+) -> DataFrame:
+    """Overlapping character-window chunker (the RAG / context-window
+    shape): windows of ``size`` chars starting every ``stride`` chars,
+    the final window clipped at the text end. Pure Column expressions
+    (sequence + transform + substring) — no explode of Python rows, one
+    narrow pass; chunk text travels as md5 so downstream checks stay
+    narrow. n_windows = 1 + ceil(max(len-size, 0)/stride) exactly."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    c = F.col(text)
+    n = F.length(c)
+    extra = F.greatest(n - size, F.lit(0))
+    n_win = (F.lit(1) + F.ceil(extra.cast("double") / stride)).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            F.md5(F.substring(c, (i * stride + 1).cast("int"), size)).alias(
+                "chunk_md5"
+            ),
+            F.least(n - i * stride, F.lit(size)).cast("int").alias("n_chars"),
+        ),
+    )
+    return df.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", "w.chunk_idx", "w.chunk_md5", "w.n_chars"
+    )
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: Sequence[int] = (8, 1, 1),
+    names: Sequence[str] = ("train", "val", "test"),
+    key: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent
+    hash bucketing (never rand(): resumable jobs and both engines must
+    agree). Buckets = md5-derived value mod sum(weights); cumulative
+    weight ranges pick the split. Adding documents never reassigns
+    existing ones — the property that keeps eval sets stable as a corpus
+    grows."""
+    from .hashing import md5_lower64
+
+    total = sum(weights)
+    # two-step reduction: Spark's signed pmod equals DuckDB's unsigned mod
+    # only when the modulus divides 2^64, so reduce through 2^31 first
+    # (2^64 % 2^31 == 0 -> both engines see the SAME nonnegative value)
+    # and only then take % total — identical in both engines for ANY total
+    h31 = F.pmod(md5_lower64(F.col(key).cast("string")), F.lit(2**31))
+    b = F.pmod(h31, F.lit(total))
+    edges = []
+    acc = 0
+    for w, name in zip(weights, names):
+        acc += w
+        edges.append((acc, name))
+    expr = None
+    for edge, name in edges:
+        cond = b < edge
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    return df.select(key, b.alias("bucket"), expr.alias("split"))

@@ -603,11 +603,12 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
     "ann": ("cosine_topk", "ann_lsh_topk", "ivf_ann_topk"),
     "text_ops": (
         "token_counts", "quality_scores", "lang_id", "doc_fingerprints",
+        "chunk_docs_windows",
     ),
     "corpus_stats": (
         "vocab_top50", "redact_stop_tokens", "term_doc_stats", "bm25_top10",
     ),
-    "sampling": ("hash_sample_docs", "stratified_sample_docs"),
+    "sampling": ("hash_sample_docs", "stratified_sample_docs", "split_assignment"),
     "multimodal": (
         "image_decode_features", "audio_decode_stats", "video_frame_sample",
     ),

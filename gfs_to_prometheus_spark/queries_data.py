@@ -1168,3 +1168,45 @@ def corpus_pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "first_doc_id",
     )
+
+
+@query(
+    "chunk_docs_windows",
+    """
+WITH t AS (
+    SELECT doc_id, text, length(text) AS n,
+           CAST(1 + ceil(CAST(greatest(length(text) - 200, 0) AS DOUBLE)
+                         / 150) AS INTEGER) AS n_win
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       md5(substr(text, CAST(i * 150 + 1 AS INTEGER), 200)) AS chunk_md5,
+       CAST(least(n - i * 150, 200) AS INTEGER) AS n_chars
+FROM t, LATERAL (SELECT unnest(generate_series(0, n_win - 1)) AS i) g
+""",
+)
+def chunk_docs_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping character windows (200 chars, stride 150)."""
+    return text.chunk_documents(load(spark, sf_dir, "documents"), 200, 150)
+
+
+@query(
+    "split_assignment",
+    """
+WITH h AS (
+    SELECT doc_id,
+           CAST(CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT)
+                % 2147483648 % 10 AS BIGINT) AS bucket
+    FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket < 9 THEN 'val' ELSE 'test' END AS split
+FROM h
+""",
+)
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8/1/1 train/val/test assignment (md5 bucketing via
+    the 2^31-reduction twin rule — see assign_splits)."""
+    return text.assign_splits(load(spark, sf_dir, "documents"))
