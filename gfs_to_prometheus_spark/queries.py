@@ -586,7 +586,7 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
     ),
     "promql_count_values": ("count_values_1h",),
     "label_ops": ("label_matcher_select", "label_rewrite_select"),
-    "engine_api": ("engine_sum_1h_offset", "engine_rate_5m"),
+    "engine_api": ("engine_sum_1h_offset", "engine_rate_5m", "engine_instant_offset"),
     "sessionize": ("sessionize_users",),
     "olap_grouping": ("pivot_type_by_day", "cube_event_counts"),
     "set_ops": ("intersect_users", "except_user_days"),

@@ -1590,3 +1590,49 @@ def engine_rate_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the counter is integral micro units stored exactly, so the cast is
     # lossless and restores the oracle's BIGINT schema
     return out.withColumn("increase", F.col("increase").cast("long"))
+
+
+_INST_AT_MS = 1_705_276_800_000   # 2024-01-15T00:00Z
+_INST_OFF_S = 86_400              # offset 1d -> evaluates at Jan 14
+_INST_LOOKBACK_S = 3_600
+
+
+@query(
+    "engine_instant_offset",
+    f"""
+WITH s AS (
+    SELECT event_type AS series_key, ts, value,
+           (epoch_ms(ts) // 300000) * 300000 AS bucket_ms
+    FROM events
+)
+SELECT series_key,
+       arg_max(value, epoch_ms(ts)) AS value,
+       max(epoch_ms(ts)) AS as_of_ms
+FROM s
+WHERE bucket_ms <= {_INST_AT_MS} - {_INST_OFF_S * 1000}
+  AND bucket_ms >  {_INST_AT_MS} - {_INST_OFF_S * 1000} - {_INST_LOOKBACK_S * 1000}
+GROUP BY 1
+""",
+)
+def engine_instant_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine.instant end-to-end: the PromQL instant vector (staleness
+    lookback + offset modifier) served from the materialized 5m tier on
+    disk. The tier's (last, last_ts_ms) carry makes the point-in-time
+    answer a tier-only read — no raw-sample scan at query time."""
+    import hashlib
+    import tempfile
+
+    from .api import Engine
+    from .rollup import rollup
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series_key"), "ts", "value"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"g2p_engine_inst_{tag}")
+    rollup(ev, 300, series=("series_key",)).write.mode("overwrite").parquet(
+        os.path.join(root, "rollup_5m")
+    )
+    return Engine(spark, root).instant(
+        _INST_AT_MS, lookback_s=_INST_LOOKBACK_S, offset_s=_INST_OFF_S
+    )
