@@ -493,8 +493,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "chunk_roundtrip_salted",   # S8/W2/W3/§2.11 chunk codec + skew salting
     # decoder / wire roundtrips
     "ts_token_roundtrip",       # D1 timestamp-delta tokens
-    "resource_id_roundtrip",    # D4 compact resource ids
-    "mutf8_series_roundtrip",   # D5 modified-UTF8
+    "late_merge_tier_1h",       # OOO MERGE == full recompute (ST/late)
+    "retention_surviving_parts",  # W4 tiered retention on-disk effect
     "contamination_vs_bench",   # benchmark decontamination (n-gram overlap)
     "type_code_normalization",  # D6/D7
     # sources / sinks / pipeline plumbing
@@ -565,6 +565,8 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
         "mutf8_series_roundtrip", "gfs_archive_roundtrip",
     ),
     "type_norm": ("type_code_normalization",),
+    "late_merge": ("late_merge_tier_1h",),
+    "retention": ("retention_surviving_parts",),
     "json_side_channel": ("json_props_decode",),
     "csv": ("csv_roundtrip",),
     "glob": ("glob_discovery",),

@@ -1636,3 +1636,137 @@ def engine_instant_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Engine(spark, root).instant(
         _INST_AT_MS, lookback_s=_INST_LOOKBACK_S, offset_s=_INST_OFF_S
     )
+
+
+# -- previously pytest-only lifecycles, upgraded to oracle gates ------------
+
+_ROLLUP_1H_ALL_SQL = f"""
+SELECT event_type AS series_key,
+       (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+       min(value) AS vmin,
+       max(value) AS vmax,
+       CAST(sum({sql_micro('value')}) AS BIGINT) AS sum_micro,
+       count(*) AS cnt,
+       arg_max(value, ts) AS last,
+       max(epoch_ms(ts)) AS last_ts_ms
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("late_merge_tier_1h", _ROLLUP_1H_ALL_SQL)
+def late_merge_tier_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The late-data MERGE's correctness CONTRACT as an oracle: split the
+    input deterministically into on-time (90%) and late (10%) samples,
+    materialize tiers from the on-time part, MERGE the late samples in
+    (partition-local, two-phase staged — late.py), and the resulting 1h
+    tier must equal a direct rollup of ALL samples. Previously only a
+    pytest law; now the driver gate checks it value-for-value."""
+    import hashlib
+    import tempfile
+
+    from . import late as late_mod
+    from .checkpoint import write_partitioned
+    from .operators.hashing import md5_lower64
+    from .rollup import rollup, rollup_merge
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series_key"), "ts", "value"
+    )
+    is_late = (
+        F.pmod(
+            md5_lower64(F.unix_millis(F.col("ts").cast("timestamp")).cast("string")),
+            F.lit(10),
+        )
+        == 0
+    )
+    ontime, late = ev.filter(~is_late), ev.filter(is_late)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"g2p_late_merge_{tag}")
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    r5 = rollup(ontime, 300, series=("series_key",))
+    part = F.date_format(F.timestamp_millis("bucket_ms"), "yyyy-MM-dd")
+    write_partitioned(r5.withColumn("part", part), root, "rollup_5m")
+    r5d = spark.read.parquet(os.path.join(root, "rollup_5m"))
+    for tbl, step in (("rollup_1h", 3600), ("rollup_1d", 86400)):
+        t = rollup_merge(r5d, step, series=("series_key",))
+        write_partitioned(t.withColumn("part", part), root, tbl)
+    late_mod.merge_late_samples(spark, root, late, series=("series_key",))
+    out = spark.read.parquet(os.path.join(root, "rollup_1h"))
+    return out.select(
+        "series_key", "bucket_ms", "vmin", "vmax", "sum_micro", "cnt",
+        "last", "last_ts_ms",
+    )
+
+
+@query(
+    "retention_surviving_parts",
+    """
+WITH days AS (
+    SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS part FROM events
+), mx AS (
+    SELECT max(part) AS today FROM days
+)
+SELECT 'chunks' AS tbl, part FROM days, mx
+WHERE part >= CAST(CAST(today AS DATE) - 7 AS VARCHAR)
+UNION ALL
+SELECT 'rollup_5m', part FROM days, mx
+WHERE part >= CAST(CAST(today AS DATE) - 14 AS VARCHAR)
+UNION ALL
+SELECT 'rollup_1h', part FROM days, mx
+WHERE part >= CAST(CAST(today AS DATE) - 25 AS VARCHAR)
+UNION ALL
+SELECT 'rollup_1d', part FROM days
+""",
+)
+def retention_surviving_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered retention (W4) as an oracle gate: materialize all four tier
+    tables day-partitioned, APPLY the per-tier horizons (7/14/25/∞ days
+    from the newest day — metadata-only partition drops), then report
+    what actually SURVIVES ON DISK. The oracle predicts the surviving
+    (table, part) set from the raw data's day range."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from . import chunks as chunks_mod, retention
+    from .checkpoint import write_partitioned
+    from .rollup import rollup, rollup_merge
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("series_key"), "ts", "value"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"g2p_retention_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    part = F.date_format(F.timestamp_millis("bucket_ms"), "yyyy-MM-dd")
+    ch = chunks_mod.encode_chunks(ev, series=("series_key",)).withColumn(
+        "part", F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd")
+    )
+    write_partitioned(ch, root, "chunks")
+    r5 = rollup(ev, 300, series=("series_key",))
+    write_partitioned(r5.withColumn("part", part), root, "rollup_5m")
+    r5d = spark.read.parquet(os.path.join(root, "rollup_5m"))
+    for tbl, step in (("rollup_1h", 3600), ("rollup_1d", 86400)):
+        write_partitioned(
+            rollup_merge(r5d, step, series=("series_key",)).withColumn(
+                "part", part
+            ),
+            root,
+            tbl,
+        )
+    today = max(retention.list_parts(root, "rollup_1d"))
+    policy = retention.RetentionPolicy(
+        {"chunks": 7, "rollup_5m": 14, "rollup_1h": 25, "rollup_1d": None}
+    )
+    retention.apply_retention(root, policy, today)
+    rows = [
+        (tbl, p)
+        for tbl in ("chunks", "rollup_5m", "rollup_1h", "rollup_1d")
+        for p in retention.list_parts(root, tbl)
+    ]
+    return spark.createDataFrame(
+        __import__("pandas").DataFrame(rows, columns=["tbl", "part"]),
+        "tbl string, part string",
+    )
