@@ -609,6 +609,7 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
     ),
     "corpus_stats": (
         "vocab_top50", "redact_stop_tokens", "term_doc_stats", "bm25_top10",
+        "doc_length_stats_by_source",
     ),
     "sampling": ("hash_sample_docs", "stratified_sample_docs", "split_assignment"),
     "multimodal": (

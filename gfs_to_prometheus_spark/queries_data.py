@@ -1210,3 +1210,78 @@ def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 8/1/1 train/val/test assignment (md5 bucketing via
     the 2^31-reduction twin rule — see assign_splits)."""
     return text.assign_splits(load(spark, sf_dir, "documents"))
+
+
+def _len_pct_sql(q: str) -> str:
+    """Rank/blend percentile of n_chars at quantile q (exact twin shape
+    of _P95_SQL; integer subtraction exact, blend in double)."""
+    k = f"(n - 1) * CAST({q} AS DOUBLE)"
+    lo = f"min(CASE WHEN rn = CAST(floor({k}) AS BIGINT) THEN n_chars END)"
+    hi = f"min(CASE WHEN rn = CAST(ceil({k}) AS BIGINT) THEN n_chars END)"
+    return f"{lo} + ({k} - floor({k})) * ({hi} - {lo})"
+
+
+@query(
+    "doc_length_stats_by_source",
+    f"""
+WITH s AS (
+    SELECT source, n_chars,
+           row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rn,
+           count(*)   OVER (PARTITION BY source) AS n
+    FROM documents
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       {_len_pct_sql('0.5')} AS p50_chars,
+       {_len_pct_sql('0.95')} AS p95_chars
+FROM s GROUP BY source, n
+""",
+)
+def doc_length_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile per source — the first table any curation
+    run produces (filter thresholds come from these percentiles). Exact
+    rank/blend percentiles (p95_value_by_type pattern), never a library
+    quantile whose FP order differs across engines."""
+    from pyspark.sql import Window as W, functions as F
+
+    d = load(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("n_chars")
+    s = d.select(
+        "source",
+        "n_chars",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("source")).alias("n"),
+    )
+
+    def pct(q: float):
+        k = (F.col("n") - 1) * F.lit(q)
+        lo = F.min(
+            F.when(F.col("rn") == F.floor(k).cast("long"), F.col("n_chars"))
+        )
+        hi = F.min(
+            F.when(F.col("rn") == F.ceil(k).cast("long"), F.col("n_chars"))
+        )
+        return lo + (k - F.floor(k)) * (hi - lo)
+
+    return (
+        s.groupBy("source", "n")
+        .agg(
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+            pct(0.5).alias("p50_chars"),
+            pct(0.95).alias("p95_chars"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            "min_chars",
+            "max_chars",
+            "sum_chars",
+            "p50_chars",
+            "p95_chars",
+        )
+    )
