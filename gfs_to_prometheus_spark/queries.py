@@ -605,7 +605,7 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
     "ann": ("cosine_topk", "ann_lsh_topk", "ivf_ann_topk"),
     "text_ops": (
         "token_counts", "quality_scores", "lang_id", "doc_fingerprints",
-        "chunk_docs_windows",
+        "chunk_docs_windows", "repetition_ratios",
     ),
     "corpus_stats": (
         "vocab_top50", "redact_stop_tokens", "term_doc_stats", "bm25_top10",

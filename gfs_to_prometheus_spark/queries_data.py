@@ -1285,3 +1285,65 @@ def doc_length_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p95_chars",
         )
     )
+
+
+@query(
+    "repetition_ratios",
+    """
+WITH t AS (
+    SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+    FROM documents
+), g AS (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 2 THEN
+               [w[i] || ' ' || w[i+1] FOR i IN generate_series(1, len(w)-1)]
+           ELSE [trim(text)] END AS grams,
+           w
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+           AS uniq_token_ratio,
+       CAST(len(list_distinct(grams)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)
+           AS uniq_bigram_ratio
+FROM g
+""",
+)
+def repetition_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition filters,
+    distinct from cross-doc dedup): unique-token and unique-bigram
+    fractions per doc. Low ratios flag boilerplate/looping text. Pure
+    Column math (one narrow pass, integer counts -> one double division
+    — cross-engine exact)."""
+    from pyspark.sql import functions as F
+
+    from .operators.text import ws_tokens
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.trim(F.col("text")).alias("_t"), ws_tokens("text").alias("_w")
+    )
+    w = F.col("_w")
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i.cast("int")),
+                F.element_at(w, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array(F.col("_t")))
+    return base.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(w)).cast("double")
+            / F.size(w).cast("double")
+        ).alias("uniq_token_ratio"),
+        (
+            F.size(F.array_distinct(grams)).cast("double")
+            / F.size(grams).cast("double")
+        ).alias("uniq_bigram_ratio"),
+    )
