@@ -40,12 +40,25 @@ def lineage_path(root: str) -> str:
     return os.path.join(root, "_lineage")
 
 
+def _path_exists(spark: SparkSession, p: str) -> bool:
+    """Filesystem-agnostic existence probe via the Hadoop FS API (works on
+    HDFS/S3A/local alike) — NOT a try/except around the read: a blanket
+    catch would both spew a JVM stack trace into the logs on every
+    first run (no lineage yet is the normal case) and silently turn any
+    REAL read failure (permissions, corrupt footer) into "no lineage",
+    which would re-run and re-commit already-completed partitions."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(p)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def read_lineage(spark: SparkSession, root: str) -> DataFrame:
     p = lineage_path(root)
-    try:
-        return spark.read.schema(LINEAGE_SCHEMA).parquet(p)
-    except Exception:
+    if not _path_exists(spark, p):
         return spark.createDataFrame([], LINEAGE_SCHEMA)
+    # path exists: read failures from here on are REAL and must propagate
+    return spark.read.schema(LINEAGE_SCHEMA).parquet(p)
 
 
 def completed_parts(spark: SparkSession, root: str, table: str) -> set[str]:

@@ -1,4 +1,4 @@
-"""Bounded FIFO pool for operator-internal cached intermediates.
+"""Bounded LRU pool for operator-internal cached intermediates.
 
 The near-dup / ANN operators ``cache()`` intermediates that feed several
 consumers of the RETURNED lazy DataFrame, so they cannot unpersist before
@@ -8,7 +8,8 @@ bench's min-of-2 passes alone doubles them), degrading long sessions via
 eviction pressure.
 
 Design: every operator cache registers here; once more than ``MAX_LIVE``
-frames are registered, the OLDEST are unpersisted (FIFO). This bounds
+frames are registered, the LEAST-RECENTLY-registered are unpersisted
+(LRU — re-registering a plan-equal frame refreshes its recency). This bounds
 executor storage to a handful of frames per session while preserving
 Spark's plan-equality cache reuse — a repeated invocation of the same
 operator on the same input (bench warm pass -> timed pass, dashboard
@@ -33,6 +34,12 @@ MAX_LIVE = 8
 
 _LIVE: dict[str, DataFrame] = {}
 
+#: count of frames that could not be pooled because the canonicalized
+#: plan string was unavailable (py4j API drift would show up here); the
+#: first occurrence also emits a warning so the silent-unbounded-leak
+#: fallback never goes unnoticed.
+UNPOOLED_COUNT = 0
+
 
 def _plan_key(df: DataFrame) -> str | None:
     """Canonicalized analyzed-plan string — the same identity Spark's
@@ -43,11 +50,23 @@ def _plan_key(df: DataFrame) -> str | None:
     is unavailable — the frame then stays cached but UNPOOLED (a bounded
     leak), because an id()-style fallback key would re-create exactly the
     duplicate-entry eviction hazard the key exists to prevent."""
+    global UNPOOLED_COUNT
     try:
         return (
             df._jdf.queryExecution().analyzed().canonicalized().toString()
         )
     except Exception:
+        UNPOOLED_COUNT += 1
+        if UNPOOLED_COUNT == 1:
+            import warnings
+
+            warnings.warn(
+                "cachereg: canonicalized plan key unavailable (py4j API "
+                "drift?) — frame cached but UNPOOLED; executor-storage "
+                "bounding is degraded for such frames",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return None
 
 

@@ -267,6 +267,15 @@ def chunk_documents(
     narrow. n_windows = 1 + ceil(max(len-size, 0)/stride) exactly."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # gapped windows would SKIP characters (and the final window's
+        # n_chars arithmetic below assumes overlap-or-touching coverage);
+        # a chunker that silently drops text is never what a training
+        # pipeline wants
+        raise ValueError(
+            f"stride ({stride}) must be <= size ({size}): larger strides "
+            "leave un-chunked gaps between windows"
+        )
     c = F.col(text)
     n = F.length(c)
     extra = F.greatest(n - size, F.lit(0))
@@ -300,6 +309,16 @@ def assign_splits(
     grows."""
     from .hashing import md5_lower64
 
+    if len(weights) != len(names):
+        # zip() would silently truncate: buckets past the last zipped edge
+        # fall through every when() and get a NULL split — documents
+        # silently dropped from ALL splits
+        raise ValueError(
+            f"weights ({len(weights)}) and names ({len(names)}) must have "
+            "the same length"
+        )
+    if any(w <= 0 for w in weights):
+        raise ValueError(f"weights must all be > 0, got {tuple(weights)}")
     total = sum(weights)
     # two-step reduction: Spark's signed pmod equals DuckDB's unsigned mod
     # only when the modulus divides 2^64, so reduce through 2^31 first

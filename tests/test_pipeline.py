@@ -266,3 +266,24 @@ def test_compact_rejects_multi_day_block(spark):
         compact_job.compact(spark, "/nonexistent", block_s=604_800)
     with _pytest.raises(ValueError, match="divide a day"):
         compact_job.compact(spark, "/nonexistent", block_s=100_000)
+
+
+def test_lineage_read_failures_propagate(spark, tmp_path):
+    """First run (no lineage dir) is quiet-empty via an FS existence probe
+    — no JVM stack trace in the logs — but once the path EXISTS, a read
+    failure is real (corruption/permissions) and must raise rather than
+    silently reporting "no completed partitions" (which would re-commit
+    everything)."""
+    import pytest
+
+    root = str(tmp_path / "tsdb")
+    # absent path: empty frame, no exception
+    assert checkpoint.completed_parts(spark, root, "chunks") == set()
+    # corrupt lineage: a non-parquet file where parquet is expected
+    lp = checkpoint.lineage_path(root)
+    os.makedirs(lp)
+    with open(os.path.join(lp, "part-00000.parquet"), "w") as f:
+        f.write("this is not parquet")
+    with pytest.raises(Exception) as ei:
+        checkpoint.completed_parts(spark, root, "chunks")
+    assert "parquet" in str(ei.value).lower() or "Parquet" in str(ei.value)

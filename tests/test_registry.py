@@ -38,6 +38,27 @@ def test_every_family_has_a_driver_stamped_representative():
     )
 
 
+def test_doc_counts_match_registry():
+    """README/SURVEY query counts are WRITTEN by tools/sync_counts.py from
+    len(QUERIES) — this asserts they were re-synced after registry growth
+    (the count drifted twice in round 4 from hand-editing)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    )
+    from tools.sync_counts import sync
+
+    status = sync(len(QUERIES), write=False)
+    stale = sorted(doc for doc, ok in status.items() if not ok)
+    assert not stale, (
+        f"{stale} query counts are stale vs len(QUERIES)={len(QUERIES)}: "
+        "run `python tools/sync_counts.py`"
+    )
+
+
 def test_every_registered_query_is_classified():
     """A new query MUST be added to FAMILY_MAP (new family or existing) —
     that is what keeps test_every_family_... meaningful as coverage grows."""

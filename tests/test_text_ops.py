@@ -66,3 +66,28 @@ def test_split_assignment_stable_under_growth(spark):
     c = Counter(b.values())
     assert c["train"] > c["val"] and c["train"] > c["test"]
     assert abs(c["train"] / 300 - 0.8) < 0.1
+
+
+def test_chunk_documents_rejects_gapped_windows(spark):
+    """stride > size would silently skip characters between windows (and
+    the final window's n_chars arithmetic can go negative) — rejected."""
+    import pytest
+
+    df = spark.createDataFrame([("d1", "x" * 50)], "doc_id string, text string")
+    with pytest.raises(ValueError, match="stride"):
+        text.chunk_documents(df, size=10, stride=100)
+    with pytest.raises(ValueError, match="positive"):
+        text.chunk_documents(df, size=0, stride=1)
+
+
+def test_assign_splits_rejects_mismatched_weights(spark):
+    """len(weights) != len(names) used to zip-truncate: buckets past the
+    last edge fell through every when() -> NULL split (docs silently in
+    NO split). Now a hard error, as is any non-positive weight."""
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="same length"):
+        text.assign_splits(df, weights=(8, 1, 1), names=("train", "val"))
+    with pytest.raises(ValueError, match="> 0"):
+        text.assign_splits(df, weights=(8, 0, 2), names=("a", "b", "c"))
