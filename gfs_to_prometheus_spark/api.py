@@ -110,6 +110,11 @@ class Engine:
             df = rollup_merge(df, step_s, series=self.series)
         if agg not in _AGG_COLS:
             raise ValueError(f"agg must be one of {sorted(_AGG_COLS)}")
+        # PromQL `sum by (label)`: a `by` entry that is not a physical
+        # column is a LABEL of the series key — derive it as a column
+        # expression (scan-local regexp, no extra shuffle: the groupBy
+        # below shuffles on the derived value exactly once)
+        df, by = _attach_label_columns(df, by, key=self.series[0])
         out = df.groupBy(*by, "bucket_ms").agg(_AGG_COLS[agg]().alias(agg))
         if off_ms:
             out = out.withColumn("bucket_ms", F.col("bucket_ms") + off_ms)
@@ -130,9 +135,20 @@ class Engine:
             df = df.filter(F.col("bucket_ms") < end_ms)
         return _topk(df, k, by=self.series, rank_within=[], measure=measure)
 
-    def rate(self, step: str | int = "5m") -> DataFrame:
+    def rate(
+        self, step: str | int = "5m", by: Sequence[str] | None = None
+    ) -> DataFrame:
         """Reset-corrected per-second rate from the raw chunk table (rate
-        needs adjacent-sample deltas, which rollups do not retain)."""
+        needs adjacent-sample deltas, which rollups do not retain).
+
+        ``by`` adds the PromQL dashboard shape ``sum by (label)(rate(...))``
+        (/root/reference/README.md:148 `sum by (node_type)(rate(...))`):
+        the per-series rate is computed FIRST (reset correction is
+        per-series by definition), then increase/rate are summed across
+        series per (label, bucket). Labels are parsed from the series key
+        as column expressions; the extra groupBy is the only added
+        shuffle, and it runs over rate ROWS (series x buckets), not raw
+        samples."""
         from .rate import rate as _rate
 
         step_s = TIERS[step] if isinstance(step, str) else int(step)
@@ -142,7 +158,16 @@ class Engine:
             F.timestamp_millis(F.col("ts_ms")).alias("ts"),
             F.col("value").alias("counter"),
         )
-        return _rate(samples, step_s, series=self.series)
+        per_series = _rate(samples, step_s, series=self.series)
+        if by is None:
+            return per_series
+        per_series, by_cols = _attach_label_columns(
+            per_series, list(by), key=self.series[0]
+        )
+        return per_series.groupBy(*by_cols, "bucket_ms").agg(
+            F.sum("increase").alias("increase"),
+            F.sum("rate").alias("rate"),
+        )
 
     def instant(
         self, at_ms: int, fill: str = "locf", lookback_s: int = 3600,
@@ -171,6 +196,24 @@ class Engine:
         )
         fn = gapfill.locf if method == "locf" else gapfill.linear
         return fn(samples, step_s, series=self.series)
+
+
+def _attach_label_columns(df, by: list[str], key: str):
+    """For each ``by`` entry that is not a physical column, attach it as a
+    label parsed from the series key (PromQL ``by (label)`` grouping).
+    Returns (df, by) with every entry now a real column."""
+    from .naming import series_label, series_metric
+
+    for b in by:
+        if b in df.columns:
+            continue
+        col = (
+            series_metric(F.col(key))
+            if b == "__name__"
+            else series_label(F.col(key), b)
+        )
+        df = df.withColumn(b, col)
+    return df, by
 
 
 def select_series(

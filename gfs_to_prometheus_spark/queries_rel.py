@@ -1770,3 +1770,185 @@ def retention_surviving_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         __import__("pandas").DataFrame(rows, columns=["tbl", "part"]),
         "tbl string, part string",
     )
+
+
+# -- PromQL long tail: holt_winters / clamp / sort_desc (round 5) -----------
+
+# holt_winters oracle: same recurrence, same IEEE op order, via a recursive
+# CTE (one step per sample index). NOT list_reduce: DuckDB 1.0 evaluates
+# struct-literal lambda fields SEQUENTIALLY, so `acc.s` inside the 'b'
+# field resolves to the freshly-computed 's' — a silent semantics trap
+# (verified empirically; the recursive CTE has no such aliasing).
+_HW_SQL = """
+WITH RECURSIVE pts AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+           CAST(value AS DOUBLE) AS v,
+           row_number() OVER (
+               PARTITION BY event_type, epoch_ms(ts) // 3600000 ORDER BY ts
+           ) AS i,
+           count(*) OVER (
+               PARTITION BY event_type, epoch_ms(ts) // 3600000
+           ) AS cnt,
+           lead(CAST(value AS DOUBLE)) OVER (
+               PARTITION BY event_type, epoch_ms(ts) // 3600000 ORDER BY ts
+           ) AS v_next
+    FROM events
+),
+rec AS (
+    SELECT event_type, bucket_ms, cnt, i, v AS s, v_next - v AS b
+    FROM pts WHERE i = 1 AND cnt >= 2
+    UNION ALL
+    SELECT p.event_type, p.bucket_ms, p.cnt, p.i,
+           CAST(0.25 AS DOUBLE) * p.v
+               + CAST(0.75 AS DOUBLE) * (r.s + r.b) AS s,
+           CAST(0.125 AS DOUBLE) * (
+               CAST(0.25 AS DOUBLE) * p.v
+                   + CAST(0.75 AS DOUBLE) * (r.s + r.b) - r.s
+           ) + CAST(0.875 AS DOUBLE) * r.b AS b
+    FROM rec r
+    JOIN pts p ON p.event_type = r.event_type
+              AND p.bucket_ms = r.bucket_ms AND p.i = r.i + 1
+)
+SELECT event_type, bucket_ms, s AS smoothed
+FROM rec WHERE i = cnt
+UNION ALL
+SELECT DISTINCT event_type, bucket_ms, CAST(NULL AS DOUBLE) AS smoothed
+FROM pts WHERE cnt < 2
+"""
+
+
+@query("holt_winters_1h", _HW_SQL)
+def holt_winters_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL holt_winters(m[1h], 0.25, 0.125): double exponential
+    smoothing, Prometheus evaluation order (promql/functions.go). The
+    smoothing factors are dyadic (exact doubles), every fold step is a
+    fixed chain of IEEE ops replayed identically by the oracle's
+    recursive CTE — bit-exact, no tolerance."""
+    from .rate import holt_winters
+
+    return holt_winters(load(spark, sf_dir, "events"), 3600, 0.25, 0.125)
+
+
+@query(
+    "clamp_value_5m",
+    """
+SELECT event_type,
+       epoch_ms(ts) AS ts_ms,
+       greatest(least(CAST(value AS DOUBLE), CAST(75.0 AS DOUBLE)),
+                CAST(25.0 AS DOUBLE)) AS clamped
+FROM events
+""",
+)
+def clamp_value_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL clamp(v, 25, 75) — per-sample, scan-local (no shuffle;
+    clamp_min/clamp_max are the one-sided calls of the same operator)."""
+    from .rate import clamp
+    from .timeutil import epoch_ms
+
+    ev = load(spark, sf_dir, "events")
+    return clamp(ev, vmin=25.0, vmax=75.0).select(
+        "event_type", epoch_ms("ts").alias("ts_ms"), "clamped"
+    )
+
+
+@query(
+    "sort_desc_instant",
+    f"""
+WITH inst AS (
+    SELECT event_type,
+           arg_max(value, ts) AS value
+    FROM events GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY value DESC, event_type ASC) AS rank,
+       event_type, value
+FROM inst
+""",
+)
+def sort_desc_instant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL sort_desc() over the instant vector of last-sample values:
+    1-based rank by value descending, series-key tiebreak. The global
+    window is one row per SERIES (driver-sized by definition), the same
+    single-partition shape as sorted listings — never per-sample."""
+    from .rate import sort_desc
+
+    ev = load(spark, sf_dir, "events")
+    inst = ev.groupBy("event_type").agg(
+        F.max_by("value", "ts").alias("value")
+    )
+    return sort_desc(inst, value="value", series=("event_type",)).select(
+        "rank", "event_type", "value"
+    )
+
+
+@query(
+    "engine_rate_sum_by_5m",
+    f"""
+WITH s AS (
+    SELECT 'proc_total{{node=n' || (user_id % 3) || ',type=' || event_type
+               || '}}' AS series_key,
+           'n' || (user_id % 3) AS node, ts, value
+    FROM events
+), c AS (
+    SELECT series_key, node, ts,
+           sum({sql_micro('value')}) OVER (
+               PARTITION BY series_key ORDER BY ts
+           ) % 10000000000 AS counter
+    FROM s
+), d AS (
+    SELECT series_key, node, ts, counter,
+           lag(counter) OVER (PARTITION BY series_key ORDER BY ts) AS prev
+    FROM c
+)
+SELECT node,
+       (epoch_ms(ts) // 300000) * 300000 AS bucket_ms,
+       CAST(sum(CASE WHEN prev IS NULL THEN 0
+                WHEN counter >= prev THEN counter - prev
+                ELSE counter END) AS BIGINT) AS increase
+FROM d
+GROUP BY 1, 2
+""",
+)
+def engine_rate_sum_by_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference dashboard's flagship shape end-to-end:
+    ``sum by (node)(rate(proc_total[5m]))`` (/root/reference/README.md:148
+    `sum by (node_type)(rate(gemfire_process_cpu_time[5m]))`) through the
+    Engine — counters encoded to Gorilla/DoD chunks ON DISK, Engine.rate
+    decodes, reset-corrects PER SERIES, then sums across series per
+    (label, bucket), the label parsed from the series key. The oracle
+    replays it from raw samples. ``increase`` (exact int64 micro) is the
+    compared column; the engine's summed double ``rate`` is the same
+    numbers /300 but its cross-series sum order is not oracle-pinnable."""
+    import hashlib
+
+    from . import chunks as chunks_mod
+    from .api import Engine
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("series_key").orderBy("ts")
+    c = ev.select(
+        F.concat(
+            F.lit("proc_total{node=n"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit(",type="),
+            F.col("event_type"),
+            F.lit("}"),
+        ).alias("series_key"),
+        "ts",
+        "value",
+    ).select(
+        "series_key",
+        "ts",
+        (F.sum(micro("value")).over(w) % F.lit(10_000_000_000))
+        .cast("double")
+        .alias("value"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"g2p_engine_rsb_{tag}")
+    chunks_mod.encode_chunks(c, series=("series_key",)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "chunks"))
+    out = Engine(spark, root).rate("5m", by=["node"])
+    return out.select(
+        "node", "bucket_ms", F.col("increase").cast("long").alias("increase")
+    )

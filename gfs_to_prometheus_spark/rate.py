@@ -305,3 +305,102 @@ def predict_linear(
         F.lit(None).cast("double"),
     ).otherwise(yhat)
     return agg.select(*series, "bucket_ms", out.alias("predicted_micro"))
+
+
+def holt_winters(
+    df: DataFrame,
+    step_s: int,
+    sf: float,
+    tf: float,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL holt_winters(v[range], sf, tf): double exponential smoothing
+    per (series, bucket); returns the last smoothed value. Prometheus
+    recurrence (promql/functions.go funcHoltWinters), applied in exactly
+    its evaluation order so the fold is a fixed chain of IEEE double ops —
+    DuckDB reproduces it bit-for-bit via an identical list_reduce fold:
+
+        s0 = v[0];  b = v[1] - v[0]
+        for v in v[1:]:
+            s1 = sf*v + (1-sf)*(s0 + b)
+            b  = tf*(s1 - s0) + (1-tf)*b
+            s0 = s1
+
+    Buckets with < 2 samples yield NULL (PromQL drops them). (1-sf) and
+    (1-tf) are precomputed in PYTHON and embedded as repr() literals in
+    both engines — ``1.0 - 0.3`` and the literal ``0.7`` are DIFFERENT
+    doubles, so both sides must parse the same decimal string.
+
+    Scale shape: one groupBy shuffle on (series, bucket); the fold runs
+    JVM-side over the bucket's value array (bounded by samples-per-bucket,
+    the same bound every *_over_time function carries).
+    """
+    from .timeutil import epoch_ms
+
+    one_m_sf = 1.0 - sf
+    one_m_tf = 1.0 - tf
+    L = lambda x: F.lit(float(x))  # noqa: E731
+
+    b = bucket_ms(ts, step_s)
+    # ts unique per series in this model (same precondition as irate);
+    # struct sort orders by ts first -> deterministic value order
+    arr = F.array_sort(
+        F.collect_list(F.struct(epoch_ms(ts).alias("t"), F.col(value).alias("v")))
+    )
+    agg = df.groupBy(*series, b.alias("bucket_ms")).agg(
+        F.transform(arr, lambda x: x["v"].cast("double")).alias("vals")
+    )
+    vals = F.col("vals")
+    n = F.size(vals)
+    # F.get is 0-based and NULL-on-OOB (no ANSI throw on 1-sample buckets)
+    v0, v1 = F.get(vals, 0), F.get(vals, 1)
+    init = F.struct(v0.alias("s"), (v1 - v0).alias("b"))
+
+    def step(acc, v):
+        s1 = L(sf) * v + L(one_m_sf) * (acc["s"] + acc["b"])
+        b1 = L(tf) * (s1 - acc["s"]) + L(one_m_tf) * acc["b"]
+        return F.struct(s1.alias("s"), b1.alias("b"))
+
+    folded = F.aggregate(F.slice(vals, 2, n - 1), init, step)
+    out = F.when(n >= 2, folded["s"]).otherwise(F.lit(None).cast("double"))
+    return agg.select(*series, "bucket_ms", out.alias("smoothed"))
+
+
+def clamp(
+    df: DataFrame,
+    vmin: float | None = None,
+    vmax: float | None = None,
+    value: str = "value",
+    out: str = "clamped",
+) -> DataFrame:
+    """PromQL clamp()/clamp_min()/clamp_max(): per-sample value clamping
+    (pure Column exprs — scan-local, no shuffle). None skips that bound;
+    clamp(min > max) yields NULL per PromQL (empty in Prometheus, NULL
+    here so row identity is preserved for joins)."""
+    c = F.col(value).cast("double")
+    if vmin is not None:
+        c = F.greatest(c, F.lit(float(vmin)))
+    if vmax is not None:
+        c = F.least(c, F.lit(float(vmax)))
+    if vmin is not None and vmax is not None and vmin > vmax:
+        c = F.lit(None).cast("double")
+    return df.withColumn(out, c)
+
+
+def sort_desc(
+    df: DataFrame,
+    value: str = "value",
+    series: Sequence[str] = ("event_type",),
+    ascending: bool = False,
+) -> DataFrame:
+    """PromQL sort()/sort_desc() over an instant vector: assign a dense
+    1-based rank by value (ties broken by series key for determinism —
+    PromQL's own tie order is unspecified). The global window is a
+    deliberate single-partition shuffle: an instant vector has one row
+    per SERIES (cardinality ~10^3..10^6, driver-sized output by
+    definition), never one per sample — same shape as sorted listings."""
+    vcol = F.col(value).asc() if ascending else F.col(value).desc()
+    w = W.orderBy(vcol, *[F.col(s).asc() for s in series])
+    return df.withColumn("rank", F.row_number().over(w))

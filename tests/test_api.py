@@ -133,3 +133,61 @@ def test_offset_modifier(engine):
         for r in engine.instant(at + 7_200_000, offset_s=7200).collect()
     }
     assert a == b
+
+
+def test_range_query_sum_by_label(spark, tmp_path):
+    """PromQL `sum by (label)`: a `by` entry that is not a physical column
+    is parsed from the series key and grouped on (the dashboard's
+    sum by (node_type)(...) shape)."""
+    import datetime as dt
+
+    from gfs_to_prometheus_spark.rollup import rollup
+
+    utc = dt.timezone.utc
+    rows = [
+        (f"cpu{{node=n{i % 2},core=c{i}}}", dt.datetime(2024, 1, 1, 0, 0, i, tzinfo=utc), float(i))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "series_key string, ts timestamp, value double")
+    root = str(tmp_path / "tsdb")
+    rollup(df, 300, series=("series_key",)).write.parquet(root + "/rollup_5m")
+    eng = Engine(spark, root)
+    got = {
+        r["node"]: r["sum"]
+        for r in eng.range_query("sum", step="5m", by=["node"]).collect()
+    }
+    # micro units: n0 <- 0+2+4, n1 <- 1+3+5
+    assert got == {"n0": 6_000_000, "n1": 9_000_000}
+
+
+def test_rate_sum_by_label(spark, tmp_path):
+    """sum by (label)(rate(...)): reset correction per SERIES first, then
+    the cross-series sum per (label, bucket)."""
+    import datetime as dt
+
+    from gfs_to_prometheus_spark import chunks as chunks_mod
+
+    utc = dt.timezone.utc
+    # two series on node n0, one on n1; counters with one reset on s2
+    def series(name, vals):
+        return [
+            (name, dt.datetime(2024, 1, 1, 0, 0, 10 * i, tzinfo=utc), float(v))
+            for i, v in enumerate(vals)
+        ]
+
+    rows = (
+        series("c{node=n0,id=s1}", [0, 10, 25])
+        + series("c{node=n0,id=s2}", [100, 5, 30])  # reset at sample 2
+        + series("c{node=n1,id=s3}", [7, 9, 11])
+    )
+    df = spark.createDataFrame(rows, "series_key string, ts timestamp, value double")
+    root = str(tmp_path / "tsdb")
+    chunks_mod.encode_chunks(df, series=("series_key",)).write.parquet(
+        root + "/chunks"
+    )
+    got = {
+        r["node"]: r["increase"]
+        for r in Engine(spark, root).rate("5m", by=["node"]).collect()
+    }
+    # s1: 10+15=25; s2: reset -> 5 (from 0) + 25 = 30; s3: 2+2=4
+    assert got == {"n0": 55.0, "n1": 4.0}
