@@ -207,3 +207,17 @@ class TestResyncFuzz:
         # swallow its successor — the reference warns "may skip valid
         # data", statarchive.go:1180)
         assert sum(recovered_total) / len(recovered_total) >= 0.9
+
+
+def test_vsd_golden_triple_prints_published_numbers(spark):
+    """The reference validates by PRINTING String.format('%.4f', avg)
+    (DelayDurationExtractor.java:107-130) — assert our decoded-sample
+    stats render to exactly the published strings, not just compare
+    doubles."""
+    from gfs_to_prometheus_spark.queries import QUERIES
+
+    row = QUERIES["vsd_golden_triple"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["cnt"] == 13_899
+    assert f"{row['avg_ms']:.4f}" == "997.4038"
+    assert f"{row['max_ms']:.4f}" == "1120.0000"
+    assert row["series_key"] == "gemfire_statsampler_delayduration"
