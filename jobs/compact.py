@@ -39,6 +39,20 @@ from gfs_to_prometheus_spark import checkpoint, chunks
 SERIES = ("series_key",)
 
 
+#: chunk ROWS per output task. A day of chunk rows is ~1/4000 of its
+#: samples (120-sample 2h chunks -> 12 rows/series/day), and each row
+#: re-encodes to ~1 KB — 50k rows/task keeps task memory in the tens of
+#: MB while producing ~50 MB output files.
+ROWS_PER_TASK = 50_000
+
+#: days re-encoded per commit batch. A first-run compaction over a YEAR
+#: of history must not select (and cache) the whole backlog in one job:
+#: each batch is its own bounded select -> re-encode -> commit cycle, so
+#: peak cluster state is one batch's worth and a mid-backlog failure
+#: resumes from the last committed batch's lineage.
+DAYS_PER_BATCH = 30
+
+
 def compact(
     spark: SparkSession,
     root: str,
@@ -47,6 +61,8 @@ def compact(
     block_s: int = 86_400,
     job_id: str = "compact",
     salt: int = 1,
+    rows_per_task: int = ROWS_PER_TASK,
+    days_per_batch: int = DAYS_PER_BATCH,
 ) -> dict[str, int]:
     """Compact src_table's blocks into block_s-sized blocks in dst_table.
     Returns {"src_chunks": n, "dst_chunks": m, "samples": k} for the days
@@ -66,43 +82,63 @@ def compact(
     src_path = os.path.join(root, src_table)
     src = spark.read.parquet(src_path)
     done = checkpoint.completed_parts(spark, root, dst_table)
-    all_days = sorted(
-        str(r["part"]) for r in src.select("part").distinct().collect()
-    )
-    todo = [d for d in all_days if d not in done]
+    # ONE stats scan drives everything: the to-do list, the batch slices,
+    # and the per-batch task count. Driver-resident frame is one row per
+    # DAY (365 rows/year — not a scale concern).
+    day_stats = {
+        str(r["part"]): (int(r["n_chunks"]), int(r["n_samples"]))
+        for r in src.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n").alias("n_samples"),
+        )
+        .collect()
+    }
+    todo = [d for d in sorted(day_stats) if d not in done]
     if not todo:
         return {}
-    sel = src.filter(F.col("part").cast("string").isin(todo))
-    sel.cache()
-    src_chunks = sel.count()
-    samples = chunks.decode_chunks(sel, series=SERIES).select(
-        *SERIES, F.timestamp_millis("ts_ms").alias("ts"), "value"
-    )
-    recoded = chunks.encode_chunks(
-        samples, series=SERIES, ts="ts", value="value", block_s=block_s,
-        salt=salt,
-    ).withColumn(
-        "part", F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd")
-    )
-    # One output file per day, not one per (day x shuffle partition):
-    # compaction's whole point is fewer, larger files, but dynamic
-    # partition overwrite writes a file per task per touched day —
-    # measured ~1900 tiny files (and 7s of commit wall) for a 30-day
-    # sf0.1 table without this. A day of chunk ROWS is already ~1/4000
-    # of its samples, so one task per day is comfortable; for truly
-    # massive days raise parallelism with repartition(n, "part").
-    recoded = recoded.repartition("part")
-    t0 = time.monotonic()
-    dst_chunks = _commit(spark, root, job_id, dst_table, recoded, t0)
-    n_samples = int(
-        sel.agg(F.sum("n")).collect()[0][0] or 0
-    )
-    sel.unpersist()
-    return {
-        "src_chunks": int(src_chunks),
-        "dst_chunks": int(dst_chunks),
-        "samples": n_samples,
-    }
+    tot = {"src_chunks": 0, "dst_chunks": 0, "samples": 0}
+    # Bounded day-batches: a first-run backlog over a year must not be
+    # selected (and cached) in one job — each batch is its own
+    # select -> re-encode -> commit cycle, so peak cached state is one
+    # batch and a mid-backlog crash resumes from the last batch's lineage.
+    for b0 in range(0, len(todo), days_per_batch):
+        batch = todo[b0 : b0 + days_per_batch]
+        sel = src.filter(F.col("part").cast("string").isin(batch))
+        sel.cache()
+        src_chunks = sel.count()
+        samples = chunks.decode_chunks(sel, series=SERIES).select(
+            *SERIES, F.timestamp_millis("ts_ms").alias("ts"), "value"
+        )
+        recoded = chunks.encode_chunks(
+            samples, series=SERIES, ts="ts", value="value", block_s=block_s,
+            salt=salt,
+        ).withColumn(
+            "part",
+            F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"),
+        )
+        # Output-task count DERIVED from source chunk stats, not one task
+        # per day (a year-of-history day at 10^6 series was a single-task
+        # re-encode before) and not one file per (day x shuffle partition)
+        # (~1900 tiny files for a 30-day sf0.1 table). Hashing on
+        # (part, series) spreads a hot day across up to n_tasks writers
+        # while a small batch still collapses to one file per day.
+        batch_rows = sum(day_stats[d][0] for d in batch)
+        # ceil(rows/rows_per_task) bounds file size; the floor keeps the
+        # small-batch case as parallel as the old one-task-per-day plan
+        # (a 30-day sf0.1 batch is ~30k rows — one task without the floor,
+        # a serial python re-encode of the whole batch)
+        floor = min(len(batch), spark.sparkContext.defaultParallelism)
+        n_tasks = max(-(-batch_rows // max(1, rows_per_task)), floor)
+        recoded = recoded.repartition(n_tasks, "part", *SERIES)
+        t0 = time.monotonic()
+        tot["dst_chunks"] += _commit(
+            spark, root, job_id, dst_table, recoded, t0
+        )
+        tot["src_chunks"] += int(src_chunks)
+        tot["samples"] += sum(day_stats[d][1] for d in batch)
+        sel.unpersist()
+    return tot
 
 
 def main() -> None:

@@ -287,3 +287,88 @@ def test_lineage_read_failures_propagate(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         checkpoint.completed_parts(spark, root, "chunks")
     assert "parquet" in str(ei.value).lower() or "Parquet" in str(ei.value)
+
+
+def test_compact_scale_defaults(spark, tmp_path):
+    """Round-5 scale defaults: (a) a day whose chunk-row count exceeds
+    rows_per_task re-encodes across MULTIPLE tasks (multiple output files
+    per day — never one-task-per-day); (b) a multi-day backlog is
+    processed in bounded day-batches (one lineage commit per batch), not
+    one whole-backlog select+cache; (c) the result is still lossless and
+    a re-run is a no-op."""
+    import glob as globmod
+
+    from gfs_to_prometheus_spark import chunks as chunks_mod
+    from jobs import compact as compact_job
+
+    out = str(tmp_path / "tsdb")
+    # 10 series x hourly samples x 6 days -> 120 chunk rows per day
+    n_days = 6
+    samples = (
+        spark.range(10 * 24 * n_days)
+        .select(
+            F.concat(F.lit("s"), (F.col("id") % 10).cast("string")).alias(
+                "series_key"
+            ),
+            F.timestamp_millis(
+                F.lit(1_704_067_200_000) + (F.col("id") / 10).cast("long") * 3_600_000
+            ).alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        )
+    )
+    ch = chunks_mod.encode_chunks(samples, series=("series_key",))
+    ch.withColumn(
+        "part",
+        F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"),
+    ).write.mode("overwrite").parquet(os.path.join(out, "chunks"))
+    src = spark.read.parquet(os.path.join(out, "chunks"))
+    days = sorted(
+        str(r["part"]) for r in src.select("part").distinct().collect()
+    )
+    assert len(days) == n_days
+    per_day = {
+        str(r["part"]): r["n"]
+        for r in src.groupBy("part").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    big_day = max(per_day, key=per_day.get)
+    assert per_day[big_day] > 50  # exceeds rows_per_task below
+
+    stats = compact_job.compact(
+        spark, out, rows_per_task=50, days_per_batch=2
+    )
+    assert stats["dst_chunks"] < stats["src_chunks"]
+
+    # (a) the hot day split across tasks -> >1 parquet file in its dir
+    files = globmod.glob(
+        os.path.join(out, "chunks_1d", f"part={big_day}", "*.parquet")
+    )
+    assert len(files) > 1, f"expected multi-file day, got {files}"
+
+    # (b) one lineage commit (one coalesced file) per batch of <=2 days
+    n_batches = -(-len(days) // 2)
+    lineage_files = globmod.glob(os.path.join(out, "_lineage", "*.parquet"))
+    assert len(lineage_files) == n_batches, (
+        f"{len(lineage_files)} lineage commits for {len(days)} days "
+        f"(expected {n_batches} batches)"
+    )
+    lin = checkpoint.read_lineage(spark, out)
+    committed = {
+        str(r["part"])
+        for r in lin.filter(F.col("table") == "chunks_1d").collect()
+    }
+    assert committed == set(days)
+
+    # (c) lossless + idempotent
+    def fp(df):
+        s = chunks_mod.decode_chunks(df, series=("series_key",))
+        (row,) = s.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.bit_xor(F.xxhash64("series_key", "ts_ms", "value")), F.lit(0)
+            ).alias("chk"),
+        ).collect()
+        return row["n"], row["chk"]
+
+    dst = spark.read.parquet(os.path.join(out, "chunks_1d"))
+    assert fp(src) == fp(dst)
+    assert compact_job.compact(spark, out, rows_per_task=50, days_per_batch=2) == {}
