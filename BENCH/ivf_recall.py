@@ -68,13 +68,19 @@ def main() -> None:
 
     spark = get_spark(app="ivf_recall", cpus=8)
     results = []
+    skew: list[dict] = []
     for n in SIZES:
         x = synth(n)
         x64 = x.astype(np.float64)
         ids = np.arange(n, dtype=np.int64)
+        # pandas/Arrow carrier: the list-of-tuples form takes the pickled
+        # python-RDD path (~5 s fixed + O(n) pickle wall — prohibitive at
+        # the 1M-vector ladder level)
+        import pandas as pd
+
+        pdf = pd.DataFrame({"vec_id": ids, "embedding": list(x)})
         df = spark.createDataFrame(
-            [(int(i), x[i].tolist()) for i in range(n)],
-            "vec_id long, embedding array<float>",
+            pdf, "vec_id long, embedding array<float>"
         ).cache()
         df.count()
         queries = [int(i * n // N_QUERIES) for i in range(N_QUERIES)]
@@ -99,6 +105,24 @@ def main() -> None:
             )
             alist = np.zeros(n, dtype=np.int64)
             alist[assigned["vec_id"].to_numpy()] = assigned["_list"].to_numpy()
+            # per-list size distribution: hash-sampled centroids give
+            # uneven inverted lists; worst-case probe cost scales with the
+            # LARGEST probed list, so imbalance = max/mean is the number
+            # that matters at 100 TB (a 3x-imbalanced list triples the
+            # tail-latency of every query that probes it)
+            sizes = np.bincount(alist, minlength=N_LISTS)
+            skew.append(
+                {
+                    "n": n,
+                    "lloyd": lloyd,
+                    "min": int(sizes.min()),
+                    "p50": int(np.percentile(sizes, 50)),
+                    "p90": int(np.percentile(sizes, 90)),
+                    "max": int(sizes.max()),
+                    "imbalance": round(float(sizes.max() / sizes.mean()), 2),
+                }
+            )
+            print(json.dumps({"skew": skew[-1]}), flush=True)
             crows = sorted(
                 (r["_cid"], np.array(r["_cvec"], dtype=np.float64))
                 for r in cents.collect()
@@ -149,9 +173,26 @@ def main() -> None:
             lines.append(
                 f"| {n} | {lloyd} | " + " | ".join(f"{v:.3f}" for v in row) + " |"
             )
+    lines += [
+        "",
+        "Per-list size distribution (inverted-list skew; worst-case probe",
+        "cost follows the LARGEST probed list, imbalance = max/mean):",
+        "",
+        "| corpus | lloyd steps | min | p50 | p90 | max | imbalance |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for s in skew:
+        lines.append(
+            f"| {s['n']} | {s['lloyd']} | {s['min']} | {s['p50']} | "
+            f"{s['p90']} | {s['max']} | {s['imbalance']} |"
+        )
     with open(os.path.join(HERE, "BASELINE.md"), "a") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({"metric": "ivf_recall_grid", "results": results}))
+    print(
+        json.dumps(
+            {"metric": "ivf_recall_grid", "results": results, "skew": skew}
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -32,7 +32,10 @@ HEADLINE = [
     "chunk_roundtrip_salted",
     "revenue_by_region",
     "dedup_exact",
-    "ngram_jaccard_pairs",
+    # the CAPPED variant is the plan a 100 TB user runs (stop-shingle
+    # max_df cap bounds the O(df^2) hot-shingle blow-up); the uncapped
+    # exact baseline is timed separately under "extras"
+    "ngram_jaccard_capped",
     "token_counts",
     "cosine_topk",
     # the SCALE paths a 100 TB user actually runs (vs the exact baselines
@@ -115,9 +118,95 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    # non-headline data points (not in the total): the uncapped exact
+    # jaccard baseline — quadratic in hot-shingle df by construction, so
+    # HEADLINE tracks the capped scale path instead
+    extras: dict[str, float] = {}
+    for name in ("ngram_jaccard_pairs",):
+        QUERIES[name](spark, sf_dir).count()  # warm
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        extras[name] = round(time.perf_counter() - t0, 4)
+
     t0 = time.perf_counter()
     QUERIES["rollup_5m"](spark, sf_dir).count()
     rollup_dt = time.perf_counter() - t0
+
+    # ------------------------------------------------------------------
+    # sf1.0: the same headline set at 10x rows (deterministic in-repo
+    # scale-up, BENCH/make_sf1.py) — one warm + one timed pass per query,
+    # plus per-row cost vs sf0.1: ratio = t_sf1 / (10 * t_sf0.1). At
+    # sf0.1 fixed overheads dominate (~0.3 s floor), so healthy ratios
+    # sit WELL below 1; anything > 1.3 is super-linear and flagged.
+    # Disable with SPARK_GRAFT_SF1=0.
+    # ------------------------------------------------------------------
+    sf1: dict = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and "sf0.1" in sf_dir:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+        )
+        from make_sf1 import FACTOR, ensure_sf1
+
+        sf1_dir = ensure_sf1(
+            spark,
+            sf_dir,
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), ".benchdata", "sf1.0"
+            ),
+        )
+        n1 = spark.read.parquet(f"{sf1_dir}/events.parquet").count()
+        q1: dict[str, float] = {}
+        ratio: dict[str, float] = {}
+        for name in HEADLINE:
+            if name not in QUERIES:
+                continue
+            QUERIES[name](spark, sf1_dir).count()  # warm (codegen/listing)
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf1_dir).count()
+            q1[name] = round(time.perf_counter() - t0, 4)
+            ratio[name] = round(q1[name] / (FACTOR * per_query[name]), 3)
+        # compaction slice at sf1 (same protocol as the sf0.1 one)
+        root = tempfile.mkdtemp(prefix="bench_compact_sf1_")
+        try:
+            ev = spark.read.parquet(f"{sf1_dir}/events.parquet")
+            samples = ev.select(
+                F.concat(
+                    "event_type", F.lit("|"), F.col("user_id").cast("string")
+                ).alias("series_key"),
+                "ts",
+                "value",
+            )
+            ch = chunks_mod.encode_chunks(samples, series=("series_key",))
+            ch.withColumn(
+                "part",
+                F.date_format(
+                    F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"
+                ),
+            ).write.mode("overwrite").parquet(os.path.join(root, "chunks"))
+            t0 = time.perf_counter()
+            compact_job.compact(spark, root)
+            q1["compact_2h_to_1d"] = round(time.perf_counter() - t0, 4)
+            ratio["compact_2h_to_1d"] = round(
+                q1["compact_2h_to_1d"]
+                / (FACTOR * per_query["compact_2h_to_1d"]),
+                3,
+            )
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        t0 = time.perf_counter()
+        QUERIES["rollup_5m"](spark, sf1_dir).count()
+        r1_dt = time.perf_counter() - t0
+        sf1 = {
+            "sf": 1.0,
+            "n_samples": n1,
+            "total": round(sum(q1.values()), 4),
+            "queries": q1,
+            "per_row_cost_ratio_vs_sf0.1": ratio,
+            "superlinear": sorted(
+                [k for k, v in ratio.items() if v > 1.3]
+            ),
+            "samples_per_sec": round(n1 / r1_dt, 1),
+        }
 
     sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
     print(
@@ -127,6 +216,8 @@ def main() -> None:
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": per_query,
+                "extras": extras,
+                "sf1": sf1,
                 "sf": sf,
                 "cpus": cpus,
                 "n_samples": n_samples,

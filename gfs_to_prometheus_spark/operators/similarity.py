@@ -234,6 +234,13 @@ def ivf_centroids(
     single assignment pass over sampled anchors captures most of the
     clustering benefit, and determinism keeps builds resumable).
 
+    List-skew tradeoff (measured, BENCH/ivf_recall.py skew table):
+    hash-sampled anchors give imbalance max/mean ~2.8 on clustered data;
+    worst-case probe cost follows the LARGEST probed list, so a
+    latency-sensitive build should follow with ONE ivf_refine step —
+    measured to cut imbalance to ~1.6 and lift 1-probe recall@10
+    0.89 -> 0.955; further steps plateau.
+
     orderBy().limit(n) executes as TakeOrderedAndProject — a per-partition
     partial top-k merged on the driver — NEVER a global sort or a
     single-partition window, so this scales with the corpus. The tiny

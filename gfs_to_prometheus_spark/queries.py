@@ -480,63 +480,70 @@ from . import queries_rel  # noqa: E402,F401
 # tests/test_oracle_parity.py, which drives every QUERIES entry against its
 # DuckDB oracle with the driver's own protocol (see README).
 
+# ROTATION (round 5): the registry outgrew the 50 driver slots, so slots
+# rotate across rounds to accumulate driver stamps over the whole registry
+# while family coverage stays intact every round. This round's set = the
+# 23 single-member-family queries (already stamped r4, no alternative rep
+# exists) + 27 NEVER-stamped representatives of the multi-member families
+# (first-time CORRECTNESS rows). Stamped-by-r4 members that rotated out
+# remain gated by tests/test_oracle_parity.py.
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # core tiers / windows / aggregates
-    "rollup_1h_from_5m",        # A1/A9 rollup + lossless tier merge (entry)
-    "sliding_rate_15m",         # A3 reset-corrected rate x W1 sliding window
-    "bottomk5_users",           # A6/W5 top-k family
-    "active_users_by_type",     # A5 distinct count
-    "histogram_stats",          # A8 histogram _sum/_count/_avg companions
-    "pack_sequences_256",       # tokens-payload sequence packing (north-rule shape)
-    "gapfill_linear_1h",        # §2.8 linear interpolation
-    "sparse_roundtrip_locf_1h", # F6 sparse encode + §2.8 LOCF roundtrip law
-    "chunk_roundtrip_salted",   # S8/W2/W3/§2.11 chunk codec + skew salting
+    # core tiers / windows / aggregates — rotated to unstamped reps
+    "rollup_1d_from_1h",        # A9 tier chain 5m->1h->1d (both merges)
+    "counter_rate_5m",          # A3 reset-corrected rate
+    "sum_by_event_type",        # A4 sum by label
+    "topk5_users",              # A6/W5 top-k
+    "active_users_by_type",     # A5 distinct count (pinned: single-member)
+    "histogram_quantile_p90",   # A8 quantile family
+    "corpus_pipeline_pack",     # packing: composed quality->dedup->pack
+    "gapfill_locf_1h",          # §2.8 LOCF
+    "sparse_encode_changes",    # F6 sparse semantics
+    "chunk_meta",               # W3 2h block cut metadata
     # decoder / wire roundtrips
-    "ts_token_roundtrip",       # D1 timestamp-delta tokens
-    "late_merge_tier_1h",       # OOO MERGE == full recompute (ST/late)
-    "retention_surviving_parts",  # W4 tiered retention on-disk effect
-    "contamination_vs_bench",   # benchmark decontamination (n-gram overlap)
-    "type_code_normalization",  # D6/D7
-    # sources / sinks / pipeline plumbing
-    "json_props_decode",        # S5 external-process JSON side channel
-    "csv_roundtrip",            # S6
-    "glob_discovery",           # S7
-    "metric_mapping_join",      # P1/P7/F3/F7/J4 config-driven mapping
-    "cluster_node_rollup",      # P2-P6 node labels + sum by label
-    "revenue_by_region",        # J1-J3 broadcast dim chains
-    "array_zip_explode",        # J5 ts<->value zip
-    "sorted_metric_listing",    # W6
-    "first_event_per_user",     # W7 once-only dedup
-    "union_sources",            # W8
-    "validation_stats",         # A2/A7 global scalar aggregates
-    # PromQL function families (one rep per subfamily)
-    "over_time_aggs_1h",        # min/max/sum/count_over_time
-    "irate_1h",                 # instant fns (irate/idelta)
-    "changes_5m",               # counter fns (changes/delta/resets/deriv)
-    "count_values_1h",          # value-histogram fn
-    "label_rewrite_select",     # label_replace + label_join
-    "engine_sum_1h_offset",     # api.Engine composed path (select+offset+sum)
+    "vsd_golden_triple",        # golden parity: published VSD triple through the wire
+    "late_merge_tier_1h",       # pinned
+    "retention_surviving_parts",  # pinned
+    "contamination_vs_bench",   # pinned
+    "type_code_normalization",  # pinned
+    # sources / sinks / pipeline plumbing (all pinned single-member)
+    "json_props_decode",
+    "csv_roundtrip",
+    "glob_discovery",
+    "metric_mapping_join",
+    "revenue_by_region",
+    "array_zip_explode",
+    "sorted_metric_listing",
+    "first_event_per_user",
+    "union_sources",
+    "validation_stats",
+    # PromQL function families — rotated to unstamped reps
+    "holt_winters_1h",          # over-time family: the r5 smoothing fn
+    "idelta_1h",                # instant fns
+    "predict_linear_1h",        # counter fns
+    "count_values_1h",          # pinned
+    "label_matcher_select",     # label ops
+    "sort_desc_instant",        # vector ops (clamp/sort, new r5 family)
+    "engine_rate_sum_by_5m",    # engine: sum by (label)(rate(...)) e2e
     # relational / OLAP shapes
-    "sessionize_users",
-    "pivot_type_by_day",        # OLAP grouping (pivot/cube)
-    "except_user_days",         # set ops (intersect/except)
-    "asof_join_purchases",
-    "range_join_clicks_after_purchase",
-    "tpch_q3",                  # shuffle-join fact chain (r3 fix: no fact broadcast)
-    # LLM-pipeline operators (one per judge-table row)
-    "dedup_exact",
-    "ngram_jaccard_capped",     # exact jaccard w/ stop-shingle cap
-    "minhash_lsh_dups",
-    "simhash_dup_pairs",
-    "dedup_components",         # pointer-jumping connected components
-    "dedup_survivors",
-    "embedding_dup_pairs_lsh",
-    "ann_lsh_topk",
-    "ivf_ann_topk",
-    "lang_id",                  # text ops (counts/quality/lang/fingerprints)
-    "bm25_top10",               # corpus stats (tf-idf backbone + bm25)
-    "stratified_sample_docs",   # sampling (hash/stratified)
-    "image_decode_features",    # multimodal codecs (ppm/wav/y4m)
+    "sessionize_users",         # pinned
+    "cube_event_counts",        # OLAP grouping
+    "intersect_users",          # set ops
+    "asof_join_purchases",      # pinned
+    "range_join_clicks_after_purchase",  # pinned
+    "tpch_q1",                  # tpch family
+    # LLM-pipeline operators
+    "dedup_exact",              # pinned
+    "ngram_jaccard_pairs",      # jaccard: uncapped exact baseline
+    "minhash_lsh_dups",         # pinned
+    "simhash60",                # simhash fingerprint
+    "dedup_components",         # pinned
+    "dedup_survivors",          # pinned
+    "embedding_dup_pairs",      # embedding near-dup (exact variant)
+    "cosine_topk",              # ann: exact baseline
+    "repetition_ratios",        # text ops
+    "doc_length_stats_by_source",  # corpus stats
+    "split_assignment",         # sampling
+    "audio_decode_stats",       # multimodal
 )
 
 #: operator family -> member queries. Every registered query belongs to
@@ -563,6 +570,7 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
     "codec_roundtrips": (
         "ts_token_roundtrip", "resource_id_roundtrip",
         "mutf8_series_roundtrip", "gfs_archive_roundtrip",
+        "vsd_golden_triple",
     ),
     "type_norm": ("type_code_normalization",),
     "late_merge": ("late_merge_tier_1h",),
@@ -579,7 +587,7 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
     "global_aggs": ("validation_stats",),
     "promql_over_time": (
         "avg_over_time_1h", "over_time_aggs_1h", "stddev_over_time_1h",
-        "present_over_time_1h",
+        "present_over_time_1h", "holt_winters_1h",
     ),
     "promql_instant": ("irate_1h", "idelta_1h"),
     "promql_counter": (
@@ -588,7 +596,11 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
     ),
     "promql_count_values": ("count_values_1h",),
     "label_ops": ("label_matcher_select", "label_rewrite_select"),
-    "engine_api": ("engine_sum_1h_offset", "engine_rate_5m", "engine_instant_offset"),
+    "promql_vector_ops": ("clamp_value_5m", "sort_desc_instant"),
+    "engine_api": (
+        "engine_sum_1h_offset", "engine_rate_5m", "engine_instant_offset",
+        "engine_rate_sum_by_5m",
+    ),
     "sessionize": ("sessionize_users",),
     "olap_grouping": ("pivot_type_by_day", "cube_event_counts"),
     "set_ops": ("intersect_users", "except_user_days"),
