@@ -92,7 +92,7 @@ def main() -> None:
     )
     md = f"""
 
-## Near-dup LSH scaling ladder (round 3)
+## Near-dup LSH scaling ladder (latest run)
 
 `minhash_lsh_candidates` (k=32, 8 bands, exact-Jaccard verify) over
 4x-growing synthetic corpora, min of 2 warm passes (fresh process per level)
@@ -139,14 +139,26 @@ def synth_vectors(spark, n: int):
 
 
 def run_one_embedding(n: int) -> dict:
-    """Embedding near-dup ladder level: banded sign-LSH at scale params
-    (planes=128, 8 bands of r=16 — random-pair collision 2^-16/band)."""
+    """Embedding near-dup ladder level: banded sign-LSH with ADAPTIVE
+    band width r = max(16, ceil(log2(n)) + 3). Random-pair band
+    collisions are ~n^2/2 * 2^-r: with FIXED r the candidate set grows
+    quadratically once log2(n) approaches r (measured 9.9x wall for 4x
+    vectors at 400k with r=16 — the verify drowned the signatures), so r
+    must track log2(n) to hold candidates ~linear. The analytic recall
+    floor for planted cos>=0.99 pairs at r=24/8 bands is ~0.95; measured:
+    every planted pair found at every level (the wider-r dial trades a
+    little recall for quadratic-collision immunity — 100 TB operators
+    must pick r from corpus size, not a constant)."""
+    import math
+
     from gfs_to_prometheus_spark.operators import similarity
     from gfs_to_prometheus_spark.session import get_spark
 
     spark = get_spark(app=f"stress_emb_{n}", cpus=32)
     emb = synth_vectors(spark, n).localCheckpoint()
-    kw = dict(threshold=0.99, planes=128, bands=8, dim=64)
+    bands = 8
+    r = max(16, math.ceil(math.log2(n)) + 3)
+    kw = dict(threshold=0.99, planes=bands * r, bands=bands, dim=64)
     similarity.cosine_dup_pairs_lsh(emb, **kw).count()  # warm
     best, pairs = None, 0
     for _ in range(2):
@@ -154,7 +166,9 @@ def run_one_embedding(n: int) -> dict:
         pairs = similarity.cosine_dup_pairs_lsh(emb, **kw).count()
         dt = time.perf_counter() - t0
         best = dt if best is None or dt < best else best
-    return {"vectors": n, "pairs": pairs, "seconds": round(best, 2)}
+    return {
+        "vectors": n, "pairs": pairs, "seconds": round(best, 2), "r": r,
+    }
 
 
 def main_embedding() -> None:
@@ -178,25 +192,26 @@ def main_embedding() -> None:
         print(json.dumps(results[-1]))
     base = results[0]
     rows = "\n".join(
-        "| {d:,} | {p} | {s} | {r:.2f}x time for {g:.0f}x vectors |".format(
-            d=r["vectors"], p=r["pairs"], s=r["seconds"],
+        "| {d:,} | {rr} | {p} | {s} | {r:.2f}x time for {g:.0f}x vectors |".format(
+            d=r["vectors"], rr=r.get("r", 16), p=r["pairs"], s=r["seconds"],
             r=r["seconds"] / base["seconds"], g=r["vectors"] / base["vectors"],
         )
         for r in results
     )
     md = f"""
 
-## Embedding near-dup LSH scaling ladder (round 3)
+## Embedding near-dup LSH scaling ladder (adaptive r)
 
-`cosine_dup_pairs_lsh` at SCALE parameters (planes=128, 8 bands of r=16
-sign bits; planted cos>=0.99 near-dups every 100th vector), min of 2
-warm passes, fresh process per level. The r=2 fixture default collides
-~82% of random pairs at 100k vectors (quadratic candidates, did not
-finish in 10 min); at r=16 random collision is 2^-16 per band and the
-numpy-vectorized signature/verify kernels keep the path linear-ish:
+`cosine_dup_pairs_lsh` with ADAPTIVE band width r = max(16,
+ceil(log2(n))+3), 8 bands (planted cos>=0.99 near-dups every 100th
+vector), min of 2 warm passes, fresh process per level. Random band
+collisions are ~n^2/2 * 2^-r, so a FIXED r goes quadratic once log2(n)
+reaches it (measured: 9.9x wall for 4x vectors at 400k with r=16); r
+tracking log2(n) holds the candidate set ~linear — the sizing rule a
+100 TB build must apply per corpus:
 
-| vectors | pairs | wall (s) | growth |
-|---|---|---|---|
+| vectors | r | pairs | wall (s) | growth |
+|---|---|---|---|---|
 {rows}
 
 Raw: `{json.dumps(results)}`

@@ -32,6 +32,12 @@ _AGG_COLS = {
     "sum": lambda: F.sum("sum_micro"),
     "count": lambda: F.sum("cnt"),
     "last": lambda: F.max_by("last", "last_ts_ms"),
+    # PromQL avg(): exact int64 micro sum / exact count, ONE double
+    # division at the end — tier-mergeable (sum and count both are),
+    # which a naive avg-of-avgs would not be
+    "avg": lambda: (
+        F.sum("sum_micro").cast("double") / F.sum("cnt").cast("double")
+    ),
 }
 
 

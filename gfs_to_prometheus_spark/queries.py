@@ -599,7 +599,7 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
     "promql_vector_ops": ("clamp_value_5m", "sort_desc_instant"),
     "engine_api": (
         "engine_sum_1h_offset", "engine_rate_5m", "engine_instant_offset",
-        "engine_rate_sum_by_5m",
+        "engine_rate_sum_by_5m", "engine_avg_by_type_1h",
     ),
     "sessionize": ("sessionize_users",),
     "olap_grouping": ("pivot_type_by_day", "cube_event_counts"),

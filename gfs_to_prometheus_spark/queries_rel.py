@@ -2022,3 +2022,47 @@ def vsd_golden_triple(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_ms"
         ),
     )
+
+
+@query(
+    "engine_avg_by_type_1h",
+    f"""
+SELECT 'n' || (user_id % 3) AS node,
+       (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+       CAST(CAST(sum({sql_micro('value')}) AS BIGINT) AS DOUBLE)
+           / CAST(count(*) AS DOUBLE) AS avg
+FROM events
+GROUP BY 1, 2
+""",
+)
+def engine_avg_by_type_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``avg by (node)(m)`` through the Engine: 5m tier + merged 1h
+    tier ON DISK, then range_query('avg', by=[label]) — the avg is the
+    exact micro-sum over the exact count (tier-mergeable partials; an
+    avg-of-avgs would weight buckets wrongly), one double division that
+    the oracle replays identically from raw samples."""
+    import hashlib
+
+    from .api import Engine
+    from .rollup import rollup, rollup_merge
+
+    ev = load(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("events_value{node=n"),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit(",type="),
+            F.col("event_type"),
+            F.lit("}"),
+        ).alias("series_key"),
+        "ts",
+        "value",
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"g2p_engine_avg_{tag}")
+    r5 = rollup(ev, 300, series=("series_key",))
+    r5.write.mode("overwrite").parquet(os.path.join(root, "rollup_5m"))
+    r5d = spark.read.parquet(os.path.join(root, "rollup_5m"))
+    rollup_merge(r5d, 3600, series=("series_key",)).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "rollup_1h"))
+    return Engine(spark, root).range_query("avg", step="1h", by=["node"])
