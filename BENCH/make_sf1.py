@@ -40,14 +40,26 @@ def _copies(spark: SparkSession, factor: int) -> DataFrame:
 def ensure_sf1(
     spark: SparkSession, src_dir: str, dst_dir: str, factor: int = FACTOR
 ) -> str:
-    marker = os.path.join(dst_dir, "_COMPLETE")
-    if os.path.exists(marker):
-        return dst_dir
-    os.makedirs(dst_dir, exist_ok=True)
-    k = F.col("_k")
-
     def src(t: str) -> DataFrame:
         return spark.read.parquet(f"{src_dir}/{t}.parquet")
+
+    # the marker carries a SOURCE fingerprint: if the driver regenerates
+    # sf0.1, a stale cached scale-up would silently corrupt the
+    # per-row-cost ratios (numerator no longer 10x the denominator's rows)
+    fingerprint = (
+        f"factor={factor} src={src_dir} "
+        f"events={src('events').count()} documents={src('documents').count()}"
+    )
+    marker = os.path.join(dst_dir, "_COMPLETE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == fingerprint:
+                return dst_dir
+        import shutil
+
+        shutil.rmtree(dst_dir)  # stale vs source — regenerate
+    os.makedirs(dst_dir, exist_ok=True)
+    k = F.col("_k")
 
     def write(df: DataFrame, t: str) -> None:
         df.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
@@ -107,7 +119,7 @@ def ensure_sf1(
         write(src(t), t)
 
     with open(marker, "w") as f:
-        f.write(f"factor={factor} src={src_dir}\n")
+        f.write(fingerprint + "\n")
     return dst_dir
 
 

@@ -45,6 +45,42 @@ HEADLINE = [
 ]
 
 
+def _timed_compact_slice(spark, data_dir: str, prefix: str) -> float:
+    """Encode data_dir's events into a day-partitioned 2h chunk table
+    (untimed setup), then time jobs/compact.py's full 2h -> 1d slice.
+    ONE definition so the sf0.1 and sf1.0 numbers always measure the
+    same protocol (their ratio is a headline metric)."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from gfs_to_prometheus_spark import chunks as chunks_mod
+    from jobs import compact as compact_job
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    try:
+        ev = spark.read.parquet(f"{data_dir}/events.parquet")
+        samples = ev.select(
+            F.concat(
+                "event_type", F.lit("|"), F.col("user_id").cast("string")
+            ).alias("series_key"),
+            "ts",
+            "value",
+        )
+        ch = chunks_mod.encode_chunks(samples, series=("series_key",))
+        ch.withColumn(
+            "part",
+            F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"),
+        ).write.mode("overwrite").parquet(os.path.join(root, "chunks"))
+        t0 = time.perf_counter()
+        compact_job.compact(spark, root)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -87,36 +123,9 @@ def main() -> None:
     # Setup (encode + land the 2h chunk table) is untimed; the timed span
     # is the compaction job itself — decode, re-encode at 1d, committed
     # per-day with lineage, i.e. the full background-compactor slice.
-    import shutil
-    import tempfile
-
-    from pyspark.sql import functions as F
-
-    from gfs_to_prometheus_spark import chunks as chunks_mod
-    from jobs import compact as compact_job
-
-    root = tempfile.mkdtemp(prefix="bench_compact_")
-    try:
-        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        samples = ev.select(
-            F.concat(
-                "event_type", F.lit("|"), F.col("user_id").cast("string")
-            ).alias("series_key"),
-            "ts",
-            "value",
-        )
-        ch = chunks_mod.encode_chunks(samples, series=("series_key",))
-        ch.withColumn(
-            "part",
-            F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"),
-        ).write.mode("overwrite").parquet(os.path.join(root, "chunks"))
-        t0 = time.perf_counter()
-        compact_job.compact(spark, root)
-        compact_dt = time.perf_counter() - t0
-        per_query["compact_2h_to_1d"] = round(compact_dt, 4)
-        total += compact_dt
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    compact_dt = _timed_compact_slice(spark, sf_dir, "bench_compact_")
+    per_query["compact_2h_to_1d"] = round(compact_dt, 4)
+    total += compact_dt
 
     # non-headline data points (not in the total): the uncapped exact
     # jaccard baseline — quadratic in hot-shingle df by construction, so
@@ -165,34 +174,14 @@ def main() -> None:
             QUERIES[name](spark, sf1_dir).count()
             q1[name] = round(time.perf_counter() - t0, 4)
             ratio[name] = round(q1[name] / (FACTOR * per_query[name]), 3)
-        # compaction slice at sf1 (same protocol as the sf0.1 one)
-        root = tempfile.mkdtemp(prefix="bench_compact_sf1_")
-        try:
-            ev = spark.read.parquet(f"{sf1_dir}/events.parquet")
-            samples = ev.select(
-                F.concat(
-                    "event_type", F.lit("|"), F.col("user_id").cast("string")
-                ).alias("series_key"),
-                "ts",
-                "value",
-            )
-            ch = chunks_mod.encode_chunks(samples, series=("series_key",))
-            ch.withColumn(
-                "part",
-                F.date_format(
-                    F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"
-                ),
-            ).write.mode("overwrite").parquet(os.path.join(root, "chunks"))
-            t0 = time.perf_counter()
-            compact_job.compact(spark, root)
-            q1["compact_2h_to_1d"] = round(time.perf_counter() - t0, 4)
-            ratio["compact_2h_to_1d"] = round(
-                q1["compact_2h_to_1d"]
-                / (FACTOR * per_query["compact_2h_to_1d"]),
-                3,
-            )
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
+        # compaction slice at sf1 (identical protocol: one shared helper)
+        q1["compact_2h_to_1d"] = round(
+            _timed_compact_slice(spark, sf1_dir, "bench_compact_sf1_"), 4
+        )
+        ratio["compact_2h_to_1d"] = round(
+            q1["compact_2h_to_1d"] / (FACTOR * per_query["compact_2h_to_1d"]),
+            3,
+        )
         t0 = time.perf_counter()
         QUERIES["rollup_5m"](spark, sf1_dir).count()
         r1_dt = time.perf_counter() - t0

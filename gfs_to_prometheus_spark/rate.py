@@ -320,7 +320,9 @@ def holt_winters(
     per (series, bucket); returns the last smoothed value. Prometheus
     recurrence (promql/functions.go funcHoltWinters), applied in exactly
     its evaluation order so the fold is a fixed chain of IEEE double ops —
-    DuckDB reproduces it bit-for-bit via an identical list_reduce fold:
+    DuckDB replays the same chain via a recursive CTE (one step per
+    sample; NOT list_reduce, whose struct-literal lambdas evaluate
+    fields sequentially in DuckDB 1.0 — see _HW_SQL in queries_rel.py):
 
         s0 = v[0];  b = v[1] - v[0]
         for v in v[1:]:

@@ -85,14 +85,36 @@ def compact(
     # ONE stats scan drives everything: the to-do list, the batch slices,
     # and the per-batch task count. Driver-resident frame is one row per
     # DAY (365 rows/year — not a scale concern).
-    day_stats = {
-        str(r["part"]): (int(r["n_chunks"]), int(r["n_samples"]))
-        for r in src.groupBy("part")
+    stats_rows = (
+        src.groupBy("part")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum("n").alias("n_samples"),
+            # blocks that CROSS a day boundary (possible only for a
+            # foreign chunk table whose block size does not divide a
+            # day) would recode samples into a day outside the current
+            # batch — rows the per-batch commit would silently lose
+            F.sum(
+                (
+                    (F.col("block_start_ms") / 86_400_000).cast("long")
+                    != (F.col("t_max_ms") / 86_400_000).cast("long")
+                ).cast("long")
+            ).alias("n_crossing"),
         )
         .collect()
+    )
+    crossing = {str(r["part"]): int(r["n_crossing"]) for r in stats_rows}
+    if any(crossing.values()):
+        bad = sorted(d for d, c in crossing.items() if c)[:5]
+        raise ValueError(
+            "src chunk blocks cross day-partition boundaries (e.g. days "
+            f"{bad}): per-day batched compaction would drop the "
+            "crossing samples. Re-encode the source with a block size "
+            "that divides 86400s (this engine's writers always do)."
+        )
+    day_stats = {
+        str(r["part"]): (int(r["n_chunks"]), int(r["n_samples"]))
+        for r in stats_rows
     }
     todo = [d for d in sorted(day_stats) if d not in done]
     if not todo:
@@ -137,9 +159,12 @@ def compact(
             ),
             "part string, _salt int",
         )
-        bucket = F.pmod(F.xxhash64(*SERIES), F.col("_salt"))
+        # LEFT join + coalesce: an inner join would silently DROP any
+        # recoded row whose day is not in salt_df (defense in depth —
+        # the day-crossing guard above should make this unreachable)
+        bucket = F.pmod(F.xxhash64(*SERIES), F.coalesce(F.col("_salt"), F.lit(1)))
         recoded = (
-            recoded.join(F.broadcast(salt_df), "part")
+            recoded.join(F.broadcast(salt_df), "part", "left")
             .repartition(n_tasks, "part", bucket)
             .drop("_salt")
         )

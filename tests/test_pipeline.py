@@ -372,3 +372,29 @@ def test_compact_scale_defaults(spark, tmp_path):
     dst = spark.read.parquet(os.path.join(out, "chunks_1d"))
     assert fp(src) == fp(dst)
     assert compact_job.compact(spark, out, rows_per_task=50, days_per_batch=2) == {}
+
+
+def test_compact_rejects_day_crossing_source_blocks(spark, tmp_path):
+    """A foreign chunk table whose blocks cross midnight would recode
+    samples into a day OUTSIDE the current batch — rows the per-batch
+    commit protocol cannot account for. compact() must refuse instead of
+    silently losing them (round-5 review finding)."""
+    from gfs_to_prometheus_spark import chunks as chunks_mod
+    from jobs import compact as compact_job
+
+    out = str(tmp_path / "tsdb")
+    # 5h blocks do not divide a day -> some blocks straddle midnight
+    samples = spark.range(3 * 24).select(
+        F.lit("s0").alias("series_key"),
+        F.timestamp_millis(
+            F.lit(1_704_067_200_000) + F.col("id") * 3_600_000
+        ).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    ch = chunks_mod.encode_chunks(samples, series=("series_key",), block_s=18_000)
+    ch.withColumn(
+        "part",
+        F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"),
+    ).write.mode("overwrite").parquet(os.path.join(out, "chunks"))
+    with pytest.raises(ValueError, match="cross day-partition"):
+        compact_job.compact(spark, out)
