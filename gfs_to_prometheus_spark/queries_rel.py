@@ -2066,3 +2066,64 @@ def engine_avg_by_type_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).parquet(os.path.join(root, "rollup_1h"))
     return Engine(spark, root).range_query("avg", step="1h", by=["node"])
+
+
+@query(
+    "last_first_over_time_1h",
+    """
+SELECT event_type,
+       (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+       arg_max(value, ts) AS last_value,
+       arg_min(value, ts) AS first_value
+FROM events GROUP BY 1, 2
+""",
+)
+def last_first_over_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL last_over_time / first_over_time (one pass, max_by/min_by)."""
+    from .rate import last_first_over_time
+
+    return last_first_over_time(load(spark, sf_dir, "events"), 3600)
+
+
+@query(
+    "absent_over_time_1h",
+    """
+WITH b AS (
+    SELECT event_type,
+           min(epoch_ms(ts) // 3600000) AS b0,
+           max(epoch_ms(ts) // 3600000) AS b1
+    FROM events GROUP BY 1
+),
+grid AS (
+    SELECT event_type,
+           unnest(generate_series(b0, b1)) * 3600000 AS bucket_ms
+    FROM b
+),
+observed AS (
+    SELECT DISTINCT event_type,
+           (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms
+    FROM events WHERE value > CAST(90.0 AS DOUBLE)
+)
+SELECT g.event_type, g.bucket_ms, 1 AS absent
+FROM grid g
+WHERE NOT EXISTS (
+    SELECT 1 FROM observed o
+    WHERE o.event_type = g.event_type AND o.bucket_ms = g.bucket_ms
+)
+""",
+)
+def absent_over_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL absent_over_time((m > 90)[1h]): 1 for every grid bucket
+    where no sample satisfies the selector. Grid = per-series observed
+    bucket span (sequence-explode, tier-sized); presence anti-joined in
+    one shuffle."""
+    from .rate import absent_over_time
+
+    out = absent_over_time(
+        load(spark, sf_dir, "events"),
+        3600,
+        F.col("value") > F.lit(90.0),
+    )
+    return out.select(
+        "event_type", "bucket_ms", F.col("absent").cast("int").alias("absent")
+    )

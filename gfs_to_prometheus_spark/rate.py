@@ -406,3 +406,51 @@ def sort_desc(
     vcol = F.col(value).asc() if ascending else F.col(value).desc()
     w = W.orderBy(vcol, *[F.col(s).asc() for s in series])
     return df.withColumn("rank", F.row_number().over(w))
+
+
+def last_first_over_time(
+    df: DataFrame,
+    step_s: int,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+) -> DataFrame:
+    """PromQL last_over_time / first_over_time in one pass per (series,
+    bucket): the newest and oldest sample's value (max_by/min_by on ts —
+    JVM-side, no window)."""
+    return df.groupBy(*series, bucket_ms(ts, step_s).alias("bucket_ms")).agg(
+        F.max_by(value, ts).alias("last_value"),
+        F.min_by(value, ts).alias("first_value"),
+    )
+
+
+def absent_over_time(
+    df: DataFrame,
+    step_s: int,
+    present,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+) -> DataFrame:
+    """PromQL absent_over_time(selector[step]): emit value 1 for every
+    (series, bucket) of the evaluation grid where NO sample satisfies the
+    selector predicate ``present`` (a boolean Column). The grid spans each
+    series' observed [min, max] bucket — the same sequence()-explode shape
+    as gap-fill, so grid size is series x buckets (tier-sized, never
+    sample-sized); the anti-join is one shuffle on (series, bucket)."""
+    step_ms = step_s * 1000
+    b_idx = (bucket_ms(ts, step_s) / F.lit(step_ms)).cast("long")
+    bounds = df.groupBy(*series).agg(
+        F.min(b_idx).alias("_b0"), F.max(b_idx).alias("_b1")
+    )
+    grid = bounds.select(
+        *series, F.explode(F.sequence("_b0", "_b1")).alias("_bi")
+    ).select(*series, (F.col("_bi") * F.lit(step_ms)).alias("bucket_ms"))
+    observed = (
+        df.filter(present)
+        .select(*series, (b_idx * F.lit(step_ms)).alias("bucket_ms"))
+        .distinct()
+    )
+    keys = [*series, "bucket_ms"]
+    return grid.join(observed, keys, "left_anti").withColumn(
+        "absent", F.lit(1)
+    )
