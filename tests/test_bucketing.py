@@ -55,3 +55,27 @@ def test_tpch_q3_no_fact_broadcast(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:3000]
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_holt_winters_single_exchange(spark):
+    """The smoothing fold must stay a one-shuffle JVM aggregate: one
+    Exchange (series, bucket), no window, no Python stage."""
+    from gfs_to_prometheus_spark.queries import QUERIES
+
+    q = QUERIES["holt_winters_1h"](spark, "/root/testdata/sf0.01")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan[:2000]  # shuffle (+AQE read)
+    assert "Window" not in plan, plan[:2000]
+    assert "Python" not in plan and "ArrowEval" not in plan, plan[:2000]
+
+
+def test_absent_over_time_no_cartesian(spark):
+    """The grid anti-join must be an equi-key LeftAnti (never a
+    nested-loop/cartesian — that would be grid x samples at scale)."""
+    from gfs_to_prometheus_spark.queries import QUERIES
+
+    q = QUERIES["absent_over_time_1h"](spark, "/root/testdata/sf0.01")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
