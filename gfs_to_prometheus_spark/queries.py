@@ -204,21 +204,35 @@ def p95_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """histogram_quantile(0.95, ...) analog (A8) as an exact interpolated
     percentile, computed with an explicit rank/blend formula so both engines
     produce bit-identical doubles (library quantile implementations differ
-    in FP evaluation order)."""
+    in FP evaluation order).
+
+    Scale shape (round 5): the order statistics are located on the
+    per-(series, DISTINCT value) count frame — hash-agg with map-side
+    partials over the samples, then a cumulative window over distinct
+    values only. The naive row_number window ranks every raw SAMPLE in
+    one task per series (the whole 100 TB series through one executor);
+    this form bounds the window to distinct-value rows (worst case =
+    samples, typical orders of magnitude fewer; truly continuous values
+    at scale go through histogram_quantile, the fixed-memory sibling)."""
     ev = load(spark, sf_dir, "events")
+    cnts = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
     w = W.partitionBy("event_type").orderBy("value")
-    s = ev.select(
+    s = cnts.select(
         "event_type",
         "value",
-        (F.row_number().over(w) - 1).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("n"),
+        (F.sum("_c").over(w) - F.col("_c")).alias("_cum0"),  # rank of first dup
+        F.sum("_c").over(w).alias("_cum1"),  # rank past the last dup
+        F.sum("_c").over(W.partitionBy("event_type")).alias("n"),
     )
     k = (F.col("n") - 1) * 0.95
+    fk, ck = F.floor(k).cast("long"), F.ceil(k).cast("long")
     lo = F.min(
-        F.when(F.col("rn") == F.floor(k).cast("long"), F.col("value"))
+        F.when((F.col("_cum0") <= fk) & (fk < F.col("_cum1")), F.col("value"))
     )
     hi = F.min(
-        F.when(F.col("rn") == F.ceil(k).cast("long"), F.col("value"))
+        F.when((F.col("_cum0") <= ck) & (ck < F.col("_cum1")), F.col("value"))
     )
     frac = k - F.floor(k)
     return (
