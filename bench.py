@@ -27,6 +27,8 @@ HEADLINE = [
     "topk5_users",
     "gapfill_locf_1h",
     "gapfill_linear_1h",
+    "holt_winters_1h",
+    "absent_over_time_1h",
     "p95_value_by_type",
     "tpch_q1",
     "chunk_roundtrip_salted",

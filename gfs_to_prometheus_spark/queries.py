@@ -603,6 +603,7 @@ FAMILY_MAP: dict[str, tuple[str, ...]] = {
         "avg_over_time_1h", "over_time_aggs_1h", "stddev_over_time_1h",
         "present_over_time_1h", "holt_winters_1h",
         "last_first_over_time_1h", "absent_over_time_1h",
+        "stdvar_over_time_1h",
     ),
     "promql_instant": ("irate_1h", "idelta_1h"),
     "promql_counter": (

@@ -2127,3 +2127,48 @@ def absent_over_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "bucket_ms", F.col("absent").cast("int").alias("absent")
     )
+
+
+@query(
+    "stdvar_over_time_1h",
+    """
+WITH m AS (
+    SELECT event_type,
+           (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,
+           count(*) AS n,
+           sum(CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT)) AS s1,
+           sum(CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT)
+               * CAST(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT)) AS s2
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket_ms,
+       CAST(n * s2 - s1 * s1 AS DOUBLE)
+           / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS stdvar_micro2
+FROM m
+""",
+)
+def stdvar_over_time_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL stdvar_over_time(): POPULATION variance per (series,
+    bucket). Same exact decimal(38)/HUGEINT moments as stddev_over_time,
+    finishing with (n*s2 - s1^2)/n^2 — one double division (no sqrt),
+    bit-exact across engines."""
+    from .timeutil import micro
+
+    ev = load(spark, sf_dir, "events")
+    yd = micro("value").cast("decimal(38,0)")
+    agg = ev.groupBy(
+        "event_type",
+        (F.unix_millis(F.col("ts").cast("timestamp")) - F.pmod(
+            F.unix_millis(F.col("ts").cast("timestamp")), F.lit(3_600_000)
+        )).alias("bucket_ms"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(yd).alias("s1"),
+        F.sum(yd * yd).alias("s2"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n") * dec("s2") - dec("s1") * dec("s1")
+    out = num.cast("double") / (
+        F.col("n").cast("double") * F.col("n").cast("double")
+    )
+    return agg.select("event_type", "bucket_ms", out.alias("stdvar_micro2"))

@@ -191,3 +191,23 @@ def test_rate_sum_by_label(spark, tmp_path):
     }
     # s1: 10+15=25; s2: reset -> 5 (from 0) + 25 = 30; s3: 2+2=4
     assert got == {"n0": 55.0, "n1": 4.0}
+
+
+def test_range_query_avg_is_tier_merge_exact(engine):
+    """avg through the 1d step must equal sum/count computed from the 5m
+    tier directly — the tier merge carries exact partials (a naive
+    avg-of-avgs would weight buckets wrongly)."""
+    got = {
+        (r["series_key"], r["bucket_ms"]): r["avg"]
+        for r in engine.range_query("avg", step="1d").collect()
+    }
+    t5 = engine.tier("rollup_5m").groupBy(
+        "series_key", (F.floor(F.col("bucket_ms") / 86_400_000) * 86_400_000)
+        .cast("long").alias("bucket_ms")
+    ).agg(
+        (F.sum("sum_micro").cast("double") / F.sum("cnt").cast("double")).alias("avg")
+    )
+    want = {
+        (r["series_key"], r["bucket_ms"]): r["avg"] for r in t5.collect()
+    }
+    assert got == want
