@@ -318,6 +318,17 @@ def simhash_dup_pairs(
     pigeonhole any pair within the ball agrees exactly on >= 1 band, so the
     band equi-join loses nothing. Verification (bit_count of xor) runs on
     band-collision candidates only; cost ~ docs x bands + candidate pairs.
+
+    Corpus-size sizing rule (same collision math the embedding-LSH
+    ladder measured, BENCH/BASELINE.md "adaptive r"): random band
+    collisions are ~n^2/2 * 2^-(bits/bands). At bits=60 / 4 bands (15
+    bits/band) that term passes the linear budget around n ~ 10^5-10^6
+    UNCORRELATED docs. Unlike sign-LSH, band width here is PINNED by
+    the pigeonhole exactness guarantee (bands = max_hamming+1), so the
+    scale dial is ``bits``: a 100 TB corpus should carry a wider
+    fingerprint (e.g. 120 bits as two 60-bit bigint words, band keys
+    sliced across both) — same recall guarantee, random collisions down
+    by 2^15 at the same band count.
     """
     bands = max_hamming + 1
     r = bits // bands
