@@ -62,6 +62,14 @@ def read_lineage(spark: SparkSession, root: str) -> DataFrame:
 
 
 def completed_parts(spark: SparkSession, root: str, table: str) -> set[str]:
+    # first-run fast path: no lineage dir means no completed parts. The
+    # general path below builds an EMPTY DataFrame just to collect nothing,
+    # and createDataFrame([], schema) takes the pickled python-RDD route —
+    # ~1.5 s of fixed python-worker wall per call on this host (measured in
+    # the r6 compact phase breakdown; same mechanism append_lineage's
+    # pandas carrier avoids on the write side).
+    if not _path_exists(spark, lineage_path(root)):
+        return set()
     return {
         r["part"]
         for r in read_lineage(spark, root)

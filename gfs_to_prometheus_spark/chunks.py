@@ -45,6 +45,61 @@ def _series_schema(df: DataFrame, series: Sequence[str]) -> str:
     return ", ".join(f"{c} {by_name[c]}" for c in series)
 
 
+def _encode_payloads(
+    t_all: np.ndarray, v_all: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> tuple[list, list]:
+    """(ts_chunk, val_chunk) bytes per [start, end) sample run.
+
+    1-sample runs are head-only chunks (8 B LE timestamp / 8 B LE float
+    bits) by the codec definition, so they are emitted from two vectorized
+    ``astype().tobytes()`` casts instead of ~1M scalar codec calls — on
+    sparse tables (75k series x 30 d at sf1 => mean chunk n ~= 1.02) this
+    is ~95% of all chunks. Byte-identical to dod_encode/xor_encode."""
+    n = ends - starts
+    ones = n == 1
+    ts_chunks: list = [None] * len(starts)
+    val_chunks: list = [None] * len(starts)
+    idx1 = np.flatnonzero(ones)
+    if len(idx1):
+        tb = t_all[starts[idx1]].astype("<i8").tobytes()
+        vb = v_all[starts[idx1]].astype("<f8").tobytes()
+        for j, i in enumerate(idx1):
+            ts_chunks[i] = tb[8 * j : 8 * j + 8]
+            val_chunks[i] = vb[8 * j : 8 * j + 8]
+    for i in np.flatnonzero(~ones):
+        s, e = starts[i], ends[i]
+        ts_chunks[i] = codecs.dod_encode(t_all[s:e])
+        val_chunks[i] = codecs.xor_encode(v_all[s:e])
+    return ts_chunks, val_chunks
+
+
+def _decode_many(
+    tcs: list, vcs: list, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated (ts, value) samples for a batch of chunks, with the
+    same vectorized head-only fast path for 1-sample chunks."""
+    total = int(ns.sum())
+    out_t = np.empty(total, np.int64)
+    out_v = np.empty(total, np.float64)
+    if not total:
+        return out_t, out_v
+    sample_starts = np.concatenate([[0], np.cumsum(ns)[:-1]])
+    ones = ns == 1
+    idx1 = np.flatnonzero(ones)
+    if len(idx1):
+        out_t[sample_starts[idx1]] = np.frombuffer(
+            b"".join(bytes(tcs[i])[:8] for i in idx1), "<i8"
+        )
+        out_v[sample_starts[idx1]] = np.frombuffer(
+            b"".join(bytes(vcs[i])[:8] for i in idx1), "<f8"
+        )
+    for i in np.flatnonzero(~ones):
+        s, n = int(sample_starts[i]), int(ns[i])
+        out_t[s : s + n] = codecs.dod_decode(bytes(tcs[i]), n)
+        out_v[s : s + n] = codecs.xor_decode(bytes(vcs[i]), n)
+    return out_t, out_v
+
+
 def encode_chunks(
     df: DataFrame,
     series: Sequence[str] = ("event_type",),
@@ -114,20 +169,17 @@ def encode_chunks(
                     e2.append(min(c + max_chunk_samples, e))
             starts = np.array(s2, dtype=np.int64)
             ends = np.array(e2, dtype=np.int64)
-        # all per-group metadata extracted vectorized; only the codec calls
-        # loop (numpy per chunk)
+        # all per-group metadata extracted vectorized; only the multi-sample
+        # codec calls loop (numpy per chunk; 1-sample chunks are batched)
+        ts_chunks, val_chunks = _encode_payloads(t_all, v_all, starts, ends)
         rows = {c: pdf[c].to_numpy()[starts] for c in series_l}
         rows.update(
             block_start_ms=pdf["_block"].to_numpy(np.int64)[starts],
             n=ends - starts,
             t_min_ms=t_all[starts],
             t_max_ms=t_all[ends - 1],
-            ts_chunk=[
-                codecs.dod_encode(t_all[s:e]) for s, e in zip(starts, ends)
-            ],
-            val_chunk=[
-                codecs.xor_encode(v_all[s:e]) for s, e in zip(starts, ends)
-            ],
+            ts_chunk=ts_chunks,
+            val_chunk=val_chunks,
             codec=CODEC_NAME,
         )
         return pd.DataFrame(rows)
@@ -173,17 +225,139 @@ def decode_chunks(
     def expand(batches):
         for pdf in batches:
             ns = pdf["n"].to_numpy(np.int64)
-            tcs = pdf["ts_chunk"].tolist()
-            vcs = pdf["val_chunk"].tolist()
-            t = np.concatenate(
-                [codecs.dod_decode(bytes(b), int(n)) for b, n in zip(tcs, ns)]
-            ) if len(ns) else np.empty(0, np.int64)
-            v = np.concatenate(
-                [codecs.xor_decode(bytes(b), int(n)) for b, n in zip(vcs, ns)]
-            ) if len(ns) else np.empty(0, np.float64)
+            t, v = _decode_many(
+                pdf["ts_chunk"].tolist(), pdf["val_chunk"].tolist(), ns
+            )
             d = {c: np.repeat(pdf[c].to_numpy(), ns) for c in series_l}
             d["ts_ms"] = t
             d["value"] = v
             yield pd.DataFrame(d)
 
     return chunks.mapInPandas(expand, schema=out_schema)
+
+
+def recode_chunks(
+    chunks_df: DataFrame,
+    series: Sequence[str] = ("event_type",),
+    block_s: int = 86_400,
+    max_chunk_samples: int = 4096,
+    partition_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """chunk rows -> chunk rows at ``block_s``, shuffling ENCODED chunks.
+
+    The decode->encode pair (decode_chunks + encode_chunks) shuffles the
+    DECODED samples and crosses the JVM<->Python boundary twice. Here the
+    shuffle moves the compressed chunk rows instead (at a healthy 120-
+    sample chunk density that is ~1/100 the rows and a fraction of the
+    bytes — the guide-§8 "move the compact proxy, not the payload" rule),
+    and decode + re-encode happen in ONE mapInPandas pass, so samples
+    never exist as JVM rows at all.
+
+    PRECONDITION: every source chunk must nest inside one target block
+    (floor(block_start_ms/step) == floor(t_max_ms/step)); the caller
+    checks this on its stats scan (jobs/compact.py) and falls back to the
+    sample-level pair otherwise. A per-group assert repeats the check.
+
+    ``partition_col``/``num_partitions``: optional file-layout partitioning
+    — the exchange is a RANGE repartition on that column, so each distinct
+    value lands in exactly one task (no hash-collision day mixing; ADVICE
+    r5). Groups are intact either way because the column must be constant
+    per (series, target-block) group. Default: hash on (series, block).
+
+    Memory: one buffered group = one (series, target-block)'s chunk rows
+    plus its decoded samples — bounded by cadence x block span (the same
+    bound decode+encode pays per group), not by partition size.
+    """
+    step_ms = block_s * 1000
+    series_l = list(series)
+    nb = (F.floor(F.col("block_start_ms") / F.lit(step_ms)) * step_ms).cast(
+        "long"
+    )
+    cols = [*series_l, "block_start_ms", "n", "ts_chunk", "val_chunk"]
+    base = chunks_df.select(
+        *cols, nb.alias("_nb"),
+        *( [F.col(partition_col)] if partition_col else [] ),
+    )
+    if partition_col:
+        rep = base.repartitionByRange(num_partitions, F.col(partition_col))
+    else:
+        rep = (
+            base.repartition(num_partitions, *series_l, "_nb")
+            if num_partitions
+            else base.repartition(*series_l, "_nb")
+        )
+    rep = rep.sortWithinPartitions(*series_l, "_nb", "block_start_ms")
+    keys = [*series_l, "_nb"]
+    out_schema = f"{_series_schema(chunks_df, series_l)}, {CHUNK_FIELDS}"
+
+    def _recode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
+        ns = pdf["n"].to_numpy(np.int64)
+        t_all, v_all = _decode_many(
+            pdf["ts_chunk"].tolist(), pdf["val_chunk"].tolist(), ns
+        )
+        gid = pdf[keys].ne(pdf[keys].shift()).any(axis=1).to_numpy().cumsum()
+        row_starts = np.flatnonzero(np.diff(gid, prepend=gid[0] - 1))
+        # samples per group -> group sample offsets
+        gn = np.add.reduceat(ns, row_starts) if len(ns) else np.empty(0, np.int64)
+        g_samples = np.repeat(np.arange(len(row_starts)), gn)
+        # stable per-group time sort (source chunks of one block may
+        # interleave when the source was salt-split)
+        order = np.lexsort((t_all, g_samples))
+        t_all, v_all = t_all[order], v_all[order]
+        ends_g = np.cumsum(gn)
+        starts_g = ends_g - gn
+        nb_rows = pdf["_nb"].to_numpy(np.int64)[row_starts]
+        if len(starts_g):
+            # nesting assert: the group's sample range must lie in its block
+            lo = t_all[starts_g]
+            hi = t_all[ends_g - 1]
+            if ((lo < nb_rows) | (hi >= nb_rows + step_ms)).any():
+                raise ValueError(
+                    "recode_chunks: source chunk crosses a target block "
+                    "boundary; use decode_chunks + encode_chunks instead"
+                )
+        starts, ends = starts_g, ends_g
+        if len(starts) and int((ends - starts).max()) > max_chunk_samples:
+            s2, e2 = [], []
+            for s, e in zip(starts, ends):
+                for c in range(s, e, max_chunk_samples):
+                    s2.append(c)
+                    e2.append(min(c + max_chunk_samples, e))
+            starts = np.array(s2, dtype=np.int64)
+            ends = np.array(e2, dtype=np.int64)
+        # map each output chunk back to its group's metadata rows
+        out_g = np.searchsorted(starts_g, starts, side="right") - 1
+        src_rows = row_starts[out_g]
+        ts_chunks, val_chunks = _encode_payloads(t_all, v_all, starts, ends)
+        rows = {c: pdf[c].to_numpy()[src_rows] for c in series_l}
+        rows.update(
+            block_start_ms=nb_rows[out_g],
+            n=ends - starts,
+            t_min_ms=t_all[starts],
+            t_max_ms=t_all[ends - 1],
+            ts_chunk=ts_chunks,
+            val_chunk=val_chunks,
+            codec=CODEC_NAME,
+        )
+        return pd.DataFrame(rows)
+
+    def fused(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last_key = pdf[keys].iloc[-1]
+            tail_mask = (pdf[keys] == last_key).all(axis=1).to_numpy()
+            cut = len(pdf) - int(
+                np.argmin(tail_mask[::-1]) if not tail_mask.all() else len(pdf)
+            )
+            head, carry = pdf.iloc[:cut], pdf.iloc[cut:].copy()
+            if len(head):
+                yield _recode_groups(head)
+        if carry is not None and len(carry):
+            yield _recode_groups(carry)
+
+    return rep.mapInPandas(fused, schema=out_schema)

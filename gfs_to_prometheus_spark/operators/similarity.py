@@ -49,26 +49,61 @@ def _sumlong(arr):
     return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
+def _collect_query_vec(df: DataFrame, query_vec_id: int, vec: str):
+    """The query vector as a numpy float64 array (one pushed-filter scan)."""
+    import numpy as np
+
+    (row,) = df.filter(F.col("vec_id") == query_vec_id).select(vec).collect()
+    return np.array([float(x) for x in row[vec]], dtype=np.float64)
+
+
+def _cosine_scores(df: DataFrame, qv, vec: str) -> DataFrame:
+    """(vec_id, cosine) vs the driver-resident query vector — one NARROW
+    numpy mapInPandas pass over the corpus (no join, no Exchange).
+
+    The scaled-int64 sum rule (per-term floor(x*y*1e12 + 0.5), terms
+    < 2^53 so int64 sums are exact) makes every value bit-equal to the
+    Column-expression form this replaces — which ran zip_with/aggregate
+    INTERPRETED per element, 3 x dim boxed ops per row, and dominated the
+    query's wall at 20k x 64 (guide §4.2: hand whole batches to numpy)."""
+    import numpy as np
+    import pandas as pd
+
+    id_t = df.schema["vec_id"].dataType.simpleString()
+    nb = int(np.floor(qv * qv * SCALE + 0.5).astype(np.int64).sum())
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            dot = np.floor(X * qv[None, :] * SCALE + 0.5).astype(np.int64).sum(axis=1)
+            na = np.floor(X * X * SCALE + 0.5).astype(np.int64).sum(axis=1)
+            cos = dot.astype(np.float64) / (
+                np.sqrt(na.astype(np.float64)) * np.sqrt(float(nb))
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cosine": cos}
+            )
+
+    return df.select("vec_id", vec).mapInPandas(
+        go, f"vec_id {id_t}, cosine double"
+    )
+
+
 def cosine_topk(
     df: DataFrame, query_vec_id: int, k: int = 10, vec: str = "embedding"
 ) -> DataFrame:
     """Exact top-k cosine neighbors of one stored vector (self excluded).
 
-    The query row is a 1-row broadcast; everything else is a narrow map +
-    one global top-k (rank window over a single partition is fine for
-    k<<N; at scale use orderBy(limit) which Spark executes as
-    TakeOrdered — no full sort)."""
-    q = df.filter(F.col("vec_id") == query_vec_id).select(
-        F.col(vec).alias("_qv")
+    The query vector is collected once (pushed-filter scan); scoring is a
+    narrow numpy pass (_cosine_scores) and the global top-k executes as
+    TakeOrdered (orderBy+limit — per-partition partial top-k merged on
+    the driver, never a full sort)."""
+    qv = _collect_query_vec(df, query_vec_id, vec)
+    scored = _cosine_scores(
+        df.filter(F.col("vec_id") != query_vec_id), qv, vec
     )
-    joined = df.filter(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q))
-    dot = _sumlong(_dot_terms(F.col(vec), F.col("_qv")))
-    na = _sumlong(_dot_terms(F.col(vec), F.col(vec)))
-    nb = _sumlong(_dot_terms(F.col("_qv"), F.col("_qv")))
-    cos = dot.cast("double") / (
-        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
-    )
-    scored = joined.select("vec_id", cos.alias("cosine"))
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
@@ -246,14 +281,43 @@ def ivf_centroids(
     single-partition window, so this scales with the corpus. The tiny
     result (n_lists rows) is collected and re-emitted as a local DataFrame
     so the index build and the probe ranking share ONE centroid set."""
+    data = _centroid_rows(df, n_lists, vec)
+    return _local_frame(df.sparkSession, data)
+
+
+def _centroid_rows(
+    df: DataFrame, n_lists: int, vec: str
+) -> list[tuple[int, list[float]]]:
+    """ivf_centroids' (cid, vector) rows as driver-resident Python data
+    (one TakeOrdered job; no local-DataFrame round trip for callers that
+    only need the values)."""
     rows = (
         df.select(F.col("vec_id"), F.col(vec))
         .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
         .limit(n_lists)
         .collect()
     )
-    data = [(i + 1, [float(x) for x in r[vec]]) for i, r in enumerate(rows)]
-    return _local_frame(df.sparkSession, data)
+    return [(i + 1, [float(x) for x in r[vec]]) for i, r in enumerate(rows)]
+
+
+def _assign_arrays(cdata: list[tuple[int, list[float]]]):
+    """Centroids as (cids ascending, matrix) numpy pair for batch argmin."""
+    import numpy as np
+
+    order = sorted(range(len(cdata)), key=lambda i: cdata[i][0])
+    cids = np.array([cdata[i][0] for i in order], dtype=np.int32)
+    C = np.array([cdata[i][1] for i in order], dtype=np.float64)
+    return cids, C
+
+
+def _d2_batch(X, C_row):
+    """Scaled-int64 squared distances of batch X to one centroid row —
+    per-element floor((a-b)^2 * 1e12 + 0.5) summed as int64, the exact
+    IEEE ops of _d2_terms, so values are bit-equal to the Column form."""
+    import numpy as np
+
+    d = X - C_row[None, :]
+    return np.floor(d * d * SCALE + 0.5).astype(np.int64).sum(axis=1)
 
 
 def ivf_index(
@@ -266,36 +330,51 @@ def ivf_index(
     ivf_centroids). Returns the corpus + `_list` (nearest-centroid id).
 
     The centroid set is tiny (n_lists rows) and already driver-resident,
-    so assignment is a NARROW per-row argmin over one broadcast
-    array<struct<cid, cvec>> VALUE — no corpus shuffle, no row blow-up
-    (the earlier crossJoin -> groupBy(vec_id) -> join-back plan pushed an
-    n_lists x expansion through two corpus-scale shuffles). The array
-    rides as a single-row broadcast join rather than a literal: 16x64
-    literals made Catalyst spend ~3 s per query ANALYZING the expression
-    tree; as a runtime value the plan sees one column reference. Argmin =
-    array_min over struct(d2, cid), d2 in the scaled-int64 metric so
-    assignment ties break identically in DuckDB."""
+    so assignment is a NARROW numpy batch argmin in mapInPandas — no
+    corpus shuffle (plan test pins zero Exchange), no row blow-up. The
+    earlier Column form (array_min over transform/zip_with of a broadcast
+    centroid array) computed the same values but ran INTERPRETED per
+    element — n_lists x dim boxed ops per row dominated the query's wall
+    (guide §4.2). d2 stays the scaled-int64 metric and ties break on
+    (d2, cid) exactly as array_min over struct(d2, cid) did, so
+    assignments (and the DuckDB oracle) are unchanged."""
     if cents is None:
         cents = ivf_centroids(df, n_lists, vec)
     cdata = [(r["_cid"], [float(x) for x in r["_cvec"]]) for r in cents.collect()]
-    import pandas as _pd
+    return _ivf_assign(df, cdata, vec)
 
-    crow = df.sparkSession.createDataFrame(
-        _pd.DataFrame({"_cents": [cdata]}),
-        "_cents array<struct<_cid:int,_cvec:array<float>>>",
+
+def _ivf_assign(
+    df: DataFrame, cdata: list[tuple[int, list[float]]], vec: str
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd  # noqa: F401
+
+    cids, C = _assign_arrays(cdata)
+    out_schema = (
+        ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        + ", _list int"
     )
-    dists = F.transform(
-        F.col("_cents"),
-        lambda c: F.struct(
-            _sumlong(_d2_terms(F.col(vec), c["_cvec"])).alias("_d2"),
-            c["_cid"].alias("_cid"),
-        ),
-    )
-    return (
-        df.join(F.broadcast(crow))
-        .withColumn("_list", F.array_min(dists)["_cid"])
-        .drop("_cents")
-    )
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            best_d = _d2_batch(X, C[0])
+            best_i = np.zeros(len(X), dtype=np.int64)
+            for li in range(1, len(cids)):
+                t = _d2_batch(X, C[li])
+                m = t < best_d  # strict: ties keep the smaller cid
+                best_d = np.where(m, t, best_d)
+                best_i = np.where(m, li, best_i)
+            pdf = pdf.copy()
+            pdf["_list"] = cids[best_i]
+            yield pdf
+
+    return df.mapInPandas(go, out_schema)
 
 
 def ivf_topk(
@@ -309,34 +388,33 @@ def ivf_topk(
     """IVF search: score only the n_probe lists nearest to the query
     vector, exact cosine inside them. Cost ~ (n_probe/n_lists) of brute
     force; recall controlled by n_probe."""
-    cents = ivf_centroids(df, n_lists, vec)
-    indexed = ivf_index(df, n_lists, vec, cents=cents)
-    q = indexed.filter(F.col("vec_id") == query_vec_id).select(
-        F.col(vec).alias("_qv")
+    import numpy as np
+
+    cdata = _centroid_rows(df, n_lists, vec)
+    qv = _collect_query_vec(df, query_vec_id, vec)
+    # rank the SAME centroid set by distance to the query in the
+    # scaled-int64 metric, ties on (_d2, _cid) — DRIVER-side now (n_lists
+    # values; the previous crossJoin+TakeOrdered job scanned the corpus
+    # just to rebuild these 16 rows), so probe choice still matches the
+    # oracle exactly
+    ranked = sorted(
+        (int(_d2_batch(qv[None, :], np.array(v, np.float64))[0]), cid)
+        for cid, v in cdata
     )
-    # rank the SAME centroid set by distance to the query (n_lists rows),
-    # in the scaled-int64 metric so probe choice matches the oracle
-    qd = q.crossJoin(F.broadcast(cents))
-    d2 = _sumlong(_d2_terms(F.col("_qv"), F.col("_cvec")))
-    probe_lists = [
-        r["_cid"]
-        for r in qd.select(F.col("_cid"), d2.alias("_d2"))
-        .orderBy("_d2", "_cid")
-        .limit(n_probe)
-        .collect()
-    ]
-    cands = indexed.filter(
-        F.col("_list").isin(probe_lists) & (F.col("vec_id") != query_vec_id)
-    ).crossJoin(F.broadcast(q))
-    dot = _sumlong(_dot_terms(F.col(vec), F.col("_qv")))
-    na = _sumlong(_dot_terms(F.col(vec), F.col(vec)))
-    nb = _sumlong(_dot_terms(F.col("_qv"), F.col("_qv")))
-    cos = dot.cast("double") / (
-        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+    probe_lists = [cid for _, cid in ranked[:n_probe]]
+    # one narrow pass: assign each row to its list, keep only probed
+    # lists, exact cosine — assignment+filter+score fused in a single
+    # mapInPandas (previously: broadcast-join assignment + a second
+    # broadcast of the query + interpreted per-element scoring)
+    indexed = _ivf_assign(
+        df.filter(F.col("vec_id") != query_vec_id).select("vec_id", vec),
+        cdata,
+        vec,
     )
+    cands = indexed.filter(F.col("_list").isin(probe_lists))
+    scored = _cosine_scores(cands, qv, vec)
     return (
-        cands.select("vec_id", cos.alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
 

@@ -85,6 +85,7 @@ def compact(
     # ONE stats scan drives everything: the to-do list, the batch slices,
     # and the per-batch task count. Driver-resident frame is one row per
     # DAY (365 rows/year — not a scale concern).
+    step_ms = block_s * 1000
     stats_rows = (
         src.groupBy("part")
         .agg(
@@ -100,9 +101,23 @@ def compact(
                     != (F.col("t_max_ms") / 86_400_000).cast("long")
                 ).cast("long")
             ).alias("n_crossing"),
+            # blocks that do not NEST inside one target block: the fused
+            # chunk-level recode (chunks.recode_chunks) groups source
+            # chunks by floor(block_start/step), which is only correct
+            # when each chunk's samples stay in that target block —
+            # guaranteed for compaction (source block divides the target)
+            # but not for a foreign table; those fall back to the
+            # sample-level decode+encode pair below
+            F.sum(
+                (
+                    (F.col("block_start_ms") / step_ms).cast("long")
+                    != (F.col("t_max_ms") / step_ms).cast("long")
+                ).cast("long")
+            ).alias("n_nonnested"),
         )
         .collect()
     )
+    nested = not any(int(r["n_nonnested"]) for r in stats_rows)
     crossing = {str(r["part"]): int(r["n_crossing"]) for r in stats_rows}
     if any(crossing.values()):
         bad = sorted(d for d, c in crossing.items() if c)[:5]
@@ -124,57 +139,87 @@ def compact(
     # selected (and cached) in one job — each batch is its own
     # select -> re-encode -> commit cycle, so peak cached state is one
     # batch and a mid-backlog crash resumes from the last batch's lineage.
+    import pandas as pd
+
     for b0 in range(0, len(todo), days_per_batch):
         batch = todo[b0 : b0 + days_per_batch]
         sel = src.filter(F.col("part").cast("string").isin(batch))
-        sel.cache()
-        src_chunks = sel.count()
-        samples = chunks.decode_chunks(sel, series=SERIES).select(
-            *SERIES, F.timestamp_millis("ts_ms").alias("ts"), "value"
-        )
-        recoded = chunks.encode_chunks(
-            samples, series=SERIES, ts="ts", value="value", block_s=block_s,
-            salt=salt,
-        ).withColumn(
-            "part",
-            F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"),
-        )
         # Per-day salt DERIVED from that day's chunk-row count: day d is
         # split into ceil(rows_d / rows_per_task) salt buckets, so a
         # year-of-history hot day fans out across writers while an
-        # ordinary day stays ONE task -> ONE file (raw (part, series)
-        # hashing instead mixed days within tasks and re-created the
-        # file-per-(task x day) fanout dynamic partition overwrite
-        # punishes — measured 1.5x slower at sf0.1).
-        import pandas as pd
-
+        # ordinary day stays ONE task -> ONE file. Each (day, bucket)
+        # pair gets a DISTINCT global task index (cumulative day offset +
+        # bucket; ADVICE r5) and the exchange is a RANGE repartition on
+        # that index, so no task ever mixes days — hash-partitioning the
+        # (part, bucket) pairs co-located several days per task and
+        # partially re-created the file-per-(task x day) fanout dynamic
+        # partition overwrite punishes.
         salts = {
             d: max(1, -(-day_stats[d][0] // max(1, rows_per_task)))
             for d in batch
         }
         n_tasks = sum(salts.values())
+        bases: dict[str, int] = {}
+        off = 0
+        for d in batch:
+            bases[d] = off
+            off += salts[d]
         salt_df = spark.createDataFrame(
             pd.DataFrame(
-                {"part": list(salts), "_salt": list(salts.values())}
+                {
+                    "part": list(salts),
+                    "_salt": list(salts.values()),
+                    "_base": [bases[d] for d in salts],
+                }
             ),
-            "part string, _salt int",
+            "part string, _salt int, _base int",
         )
         # LEFT join + coalesce: an inner join would silently DROP any
-        # recoded row whose day is not in salt_df (defense in depth —
+        # source row whose day is not in salt_df (defense in depth —
         # the day-crossing guard above should make this unreachable)
-        bucket = F.pmod(F.xxhash64(*SERIES), F.coalesce(F.col("_salt"), F.lit(1)))
-        recoded = (
-            recoded.join(F.broadcast(salt_df), "part", "left")
-            .repartition(n_tasks, "part", bucket)
-            .drop("_salt")
+        tidx = F.coalesce(F.col("_base"), F.lit(0)) + F.pmod(
+            F.xxhash64(*SERIES), F.coalesce(F.col("_salt"), F.lit(1))
         )
+        if nested:
+            # fused chunk-level recode: ONE shuffle of the ENCODED chunk
+            # rows (never the decoded samples) + ONE Python crossing —
+            # the salt/index join runs on chunk rows before the exchange
+            tagged = sel.join(F.broadcast(salt_df), "part", "left").withColumn(
+                "_tidx", tidx.cast("int")
+            )
+            recoded = chunks.recode_chunks(
+                tagged,
+                series=SERIES,
+                block_s=block_s,
+                partition_col="_tidx",
+                num_partitions=n_tasks,
+            )
+        else:
+            # foreign source whose blocks straddle target blocks: decode
+            # to samples, re-bucket per sample, encode (two crossings)
+            samples = chunks.decode_chunks(sel, series=SERIES).select(
+                *SERIES, F.timestamp_millis("ts_ms").alias("ts"), "value"
+            )
+            recoded = chunks.encode_chunks(
+                samples, series=SERIES, ts="ts", value="value",
+                block_s=block_s, salt=salt,
+            )
+        recoded = recoded.withColumn(
+            "part",
+            F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"),
+        )
+        if not nested:
+            recoded = (
+                recoded.join(F.broadcast(salt_df), "part", "left")
+                .repartitionByRange(n_tasks, tidx.cast("int"))
+                .drop("_salt", "_base")
+            )
         t0 = time.monotonic()
         tot["dst_chunks"] += _commit(
             spark, root, job_id, dst_table, recoded, t0
         )
-        tot["src_chunks"] += int(src_chunks)
+        tot["src_chunks"] += sum(day_stats[d][0] for d in batch)
         tot["samples"] += sum(day_stats[d][1] for d in batch)
-        sel.unpersist()
     return tot
 
 
