@@ -142,7 +142,18 @@ def encode_chunks(
 
     out_schema = f"{_series_schema(df, series)}, {CHUNK_FIELDS}"
     series_l = list(series)
-    sorted_base = base.repartition(*keys).sortWithinPartitions(*keys, "_ts_ms")
+    # explicit partition count = the session's configured shuffle
+    # parallelism. AQE's byte-based coalescing under-parallelizes this
+    # exchange: the downstream cost is python codec CPU + Arrow
+    # serialization per ROW, not shuffle I/O per byte (a 30 MB
+    # post-shuffle encode at sf1 coalesced to 13 tasks on 32 cores,
+    # serializing the python stage; pinning the configured count measured
+    # 12% off the encode wall). Scale-adaptive because shuffle.partitions
+    # itself is sized to the deployment (session.py).
+    n_shuffle = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    sorted_base = base.repartition(n_shuffle, *keys).sortWithinPartitions(
+        *keys, "_ts_ms"
+    )
     # Pipe-volume note (measured, BENCH/pipe_bytes.py + r4 A/B): dropping
     # _block from the Arrow pipe and recomputing it python-side cuts the
     # JVM->Python bytes 27% (44.5 -> 32.5 B/row) but makes the END-TO-END
@@ -260,10 +271,12 @@ def recode_chunks(
     sample-level pair otherwise. A per-group assert repeats the check.
 
     ``partition_col``/``num_partitions``: optional file-layout partitioning
-    — the exchange is a RANGE repartition on that column, so each distinct
-    value lands in exactly one task (no hash-collision day mixing; ADVICE
-    r5). Groups are intact either way because the column must be constant
-    per (series, target-block) group. Default: hash on (series, block).
+    — a hash repartition on that column alone. The caller maps its task
+    index through the murmur3 probe table (jobs/compact.py) so distinct
+    values land in distinct tasks with no collision day-mixing (ADVICE
+    r5) and no range-exchange sampling pass. The column must be constant
+    per (series, target-block) group so groups stay intact. Default:
+    hash on (series, block).
 
     Memory: one buffered group = one (series, target-block)'s chunk rows
     plus its decoded samples — bounded by cadence x block span (the same
@@ -280,7 +293,7 @@ def recode_chunks(
         *( [F.col(partition_col)] if partition_col else [] ),
     )
     if partition_col:
-        rep = base.repartitionByRange(num_partitions, F.col(partition_col))
+        rep = base.repartition(num_partitions, F.col(partition_col))
     else:
         rep = (
             base.repartition(num_partitions, *series_l, "_nb")

@@ -53,6 +53,47 @@ ROWS_PER_TASK = 50_000
 DAYS_PER_BATCH = 30
 
 
+def _murmur3_int(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32 of one 4-byte little-endian int — the public
+    algorithm behind Spark's ``hash()`` and its HashPartitioning
+    (tests/test_pipeline.py pins equality against F.hash, so an engine
+    drift fails loudly instead of silently skewing placement)."""
+    c1, c2, m = 0xCC9E2D51, 0x1B873593, 0xFFFFFFFF
+
+    def rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (32 - r))) & m
+
+    k = (x & m) * c1 & m
+    k = rotl(k, 15) * c2 & m
+    h = (seed ^ k) & m
+    h = (rotl(h, 13) * 5 + 0xE6546B64) & m
+    h ^= 4  # total bytes hashed
+    h ^= h >> 16
+    h = h * 0x85EBCA6B & m
+    h ^= h >> 13
+    h = h * 0xC2B2AE35 & m
+    h ^= h >> 16
+    return h if h < 0x80000000 else h - 0x100000000
+
+
+def _probe_values(n: int) -> list[int]:
+    """probe[i] = smallest int j with pmod(murmur3(j), n) == i, i.e. a
+    value Spark's hash partitioner places in partition i of n. Mapping
+    the task index through this table makes ``repartition(n, col)`` an
+    EXACT placement (one (day, bucket) group per task, zero collisions)
+    without the extra sampling pass a range exchange runs over the
+    child plan."""
+    probe: list[int | None] = [None] * n
+    found, j = 0, 0
+    while found < n:
+        p = _murmur3_int(j) % n
+        if probe[p] is None:
+            probe[p] = j
+            found += 1
+        j += 1
+    return probe  # type: ignore[return-value]
+
+
 def compact(
     spark: SparkSession,
     root: str,
@@ -183,9 +224,13 @@ def compact(
         if nested:
             # fused chunk-level recode: ONE shuffle of the ENCODED chunk
             # rows (never the decoded samples) + ONE Python crossing —
-            # the salt/index join runs on chunk rows before the exchange
+            # the salt/index join runs on chunk rows before the exchange.
+            # The task index maps through the murmur3 probe table so the
+            # hash exchange places each (day, bucket) group in its own
+            # task exactly (no sampling pass, no collision skew).
+            probes = F.array(*[F.lit(p) for p in _probe_values(n_tasks)])
             tagged = sel.join(F.broadcast(salt_df), "part", "left").withColumn(
-                "_tidx", tidx.cast("int")
+                "_tidx", F.element_at(probes, tidx.cast("int") + 1)
             )
             recoded = chunks.recode_chunks(
                 tagged,
@@ -209,9 +254,12 @@ def compact(
             F.date_format(F.timestamp_millis("block_start_ms"), "yyyy-MM-dd"),
         )
         if not nested:
+            probes = F.array(*[F.lit(p) for p in _probe_values(n_tasks)])
             recoded = (
                 recoded.join(F.broadcast(salt_df), "part", "left")
-                .repartitionByRange(n_tasks, tidx.cast("int"))
+                .repartition(
+                    n_tasks, F.element_at(probes, tidx.cast("int") + 1)
+                )
                 .drop("_salt", "_base")
             )
         t0 = time.monotonic()

@@ -289,6 +289,26 @@ def test_lineage_read_failures_propagate(spark, tmp_path):
     assert "parquet" in str(ei.value).lower() or "Parquet" in str(ei.value)
 
 
+def test_murmur3_probe_matches_spark_hash_partitioning(spark):
+    """compact's exact task placement inverts Spark's int hash: the
+    python murmur3 must equal F.hash() (Murmur3, seed 42) — the same
+    expression HashPartitioning uses — and every probe value must land
+    in its own partition. Pinned so a Spark hash change fails loudly
+    instead of silently re-introducing collision skew."""
+    from jobs.compact import _murmur3_int, _probe_values
+
+    vals = list(range(-5, 40)) + [2**31 - 1, -(2**31)]
+    got = (
+        spark.createDataFrame([(v,) for v in vals], "x int")
+        .select(F.hash("x").alias("h"))
+        .collect()
+    )
+    assert [r["h"] for r in got] == [_murmur3_int(v) for v in vals]
+    for n in (1, 7, 30, 64):
+        probes = _probe_values(n)
+        assert [_murmur3_int(p) % n for p in probes] == list(range(n))
+
+
 def test_compact_scale_defaults(spark, tmp_path):
     """Round-5 scale defaults: (a) a day whose chunk-row count exceeds
     rows_per_task re-encodes across MULTIPLE tasks (multiple output files
