@@ -45,12 +45,16 @@ SERIES = ("series_key",)
 #: MB while producing ~50 MB output files.
 ROWS_PER_TASK = 50_000
 
-#: days re-encoded per commit batch. A first-run compaction over a YEAR
-#: of history must not select (and cache) the whole backlog in one job:
-#: each batch is its own bounded select -> re-encode -> commit cycle, so
-#: peak cluster state is one batch's worth and a mid-backlog failure
-#: resumes from the last committed batch's lineage.
-DAYS_PER_BATCH = 30
+#: chunk ROWS re-encoded per commit batch. A first-run compaction over a
+#: YEAR of history must not select (and cache) the whole backlog in one
+#: job: each batch is its own bounded select -> re-encode -> commit
+#: cycle, so peak cluster state is one batch's worth and a mid-backlog
+#: failure resumes from the last committed batch's lineage. The bound is
+#: DATA VOLUME, not calendar days (the r5 fixed 30-day batching paid 11
+#: full commit cycles on a sparse 320-day table that fits one batch,
+#: while a single dense day at 100 TB already needs its own batch):
+#: 2M chunk rows ~= 200 MB of cached recode output per cycle.
+ROWS_PER_BATCH = 2_000_000
 
 
 def _murmur3_int(x: int, seed: int = 42) -> int:
@@ -103,7 +107,8 @@ def compact(
     job_id: str = "compact",
     salt: int = 1,
     rows_per_task: int = ROWS_PER_TASK,
-    days_per_batch: int = DAYS_PER_BATCH,
+    days_per_batch: int | None = None,
+    rows_per_batch: int = ROWS_PER_BATCH,
 ) -> dict[str, int]:
     """Compact src_table's blocks into block_s-sized blocks in dst_table.
     Returns {"src_chunks": n, "dst_chunks": m, "samples": k} for the days
@@ -176,35 +181,65 @@ def compact(
     if not todo:
         return {}
     tot = {"src_chunks": 0, "dst_chunks": 0, "samples": 0}
-    # Bounded day-batches: a first-run backlog over a year must not be
-    # selected (and cached) in one job — each batch is its own
-    # select -> re-encode -> commit cycle, so peak cached state is one
-    # batch and a mid-backlog crash resumes from the last batch's lineage.
     import pandas as pd
 
-    for b0 in range(0, len(todo), days_per_batch):
-        batch = todo[b0 : b0 + days_per_batch]
+    # Row-budgeted day batches (see ROWS_PER_BATCH): a first-run backlog
+    # must not be selected (and cached) in one job — each batch is its
+    # own select -> re-encode -> commit cycle, so peak cached state is
+    # one batch and a mid-backlog crash resumes from the last batch's
+    # lineage. A day always lands whole in one batch; a huge day gets a
+    # batch of its own; days_per_batch, when given, additionally caps
+    # the day count (test/ops hook).
+    batches: list[list[str]] = []
+    cur: list[str] = []
+    cur_rows = 0
+    for d in todo:
+        nd = day_stats[d][0]
+        full = (days_per_batch is not None and len(cur) >= days_per_batch) or (
+            cur and cur_rows + nd > rows_per_batch
+        )
+        if full:
+            batches.append(cur)
+            cur, cur_rows = [], 0
+        cur.append(d)
+        cur_rows += nd
+    if cur:
+        batches.append(cur)
+    for batch in batches:
         sel = src.filter(F.col("part").cast("string").isin(batch))
         # Per-day salt DERIVED from that day's chunk-row count: day d is
         # split into ceil(rows_d / rows_per_task) salt buckets, so a
-        # year-of-history hot day fans out across writers while an
-        # ordinary day stays ONE task -> ONE file. Each (day, bucket)
-        # pair gets a DISTINCT global task index (cumulative day offset +
-        # bucket; ADVICE r5) and the exchange is a RANGE repartition on
-        # that index, so no task ever mixes days — hash-partitioning the
-        # (part, bucket) pairs co-located several days per task and
-        # partially re-created the file-per-(task x day) fanout dynamic
-        # partition overwrite punishes.
+        # year-of-history hot day fans out across writers. Each (day,
+        # bucket) pair gets a DISTINCT global task index (ADVICE r5) so
+        # no file-per-(task x day) fanout; SMALL whole days PACK into
+        # shared tasks (a day wholly inside one task still writes
+        # exactly one file under dynamic partitionBy, so file count
+        # stays one per day) — without packing, a sparse year paid one
+        # task + one commit-rename per day (320 near-empty tasks on the
+        # 320-day bench table). The pack budget adapts to both file
+        # sizing (rows_per_task) and cluster parallelism (~2 waves).
         salts = {
             d: max(1, -(-day_stats[d][0] // max(1, rows_per_task)))
             for d in batch
         }
-        n_tasks = sum(salts.values())
+        batch_rows = sum(day_stats[d][0] for d in batch)
+        par = max(1, spark.sparkContext.defaultParallelism)
+        budget = max(1, min(rows_per_task, -(-batch_rows // (2 * par))))
         bases: dict[str, int] = {}
         off = 0
+        open_task, open_rows = None, 0
         for d in batch:
-            bases[d] = off
-            off += salts[d]
+            nd = day_stats[d][0]
+            if salts[d] > 1:
+                bases[d] = off
+                off += salts[d]
+                continue
+            if open_task is None or open_rows + nd > budget:
+                open_task, open_rows = off, 0
+                off += 1
+            bases[d] = open_task
+            open_rows += nd
+        n_tasks = off
         salt_df = spark.createDataFrame(
             pd.DataFrame(
                 {
