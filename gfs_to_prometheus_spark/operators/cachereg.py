@@ -103,8 +103,26 @@ def release() -> None:
         _evict(_LIVE.pop(next(iter(_LIVE))))
 
 
+#: evictions whose unpersist raised (stopped session is the benign case;
+#: a py4j API drift would surface here instead of silently leaking
+#: cached blocks until session end — mirror of the registration-side
+#: UNPOOLED_COUNT warning, ADVICE r5/VERDICT r5 #3)
+EVICT_FAIL_COUNT = 0
+
+
 def _evict(df: DataFrame) -> None:
+    global EVICT_FAIL_COUNT
     try:
         df.unpersist()
-    except Exception:  # session already stopped — nothing to free
-        pass
+    except Exception:
+        EVICT_FAIL_COUNT += 1
+        if EVICT_FAIL_COUNT == 1:
+            import warnings
+
+            warnings.warn(
+                "cachereg: unpersist failed during eviction (stopped "
+                "session, or py4j drift) — evicted frames may keep their "
+                "cached blocks until the session ends",
+                RuntimeWarning,
+                stacklevel=3,
+            )

@@ -380,14 +380,22 @@ def clamp(
     """PromQL clamp()/clamp_min()/clamp_max(): per-sample value clamping
     (pure Column exprs — scan-local, no shuffle). None skips that bound;
     clamp(min > max) yields NULL per PromQL (empty in Prometheus, NULL
-    here so row identity is preserved for joins)."""
-    c = F.col(value).cast("double")
+    here so row identity is preserved for joins). NaN inputs propagate
+    as NaN, matching Prometheus (Go math.Max/Min): Spark's
+    greatest/least order NaN as the largest double, which would
+    silently clamp NaN to the upper bound without the guard (ADVICE r5;
+    note the DuckDB oracle shares Spark's NaN ordering, so oracle
+    fixtures must stay NaN-free or compare via the same guard)."""
+    raw = F.col(value).cast("double")
+    c = raw
     if vmin is not None:
         c = F.greatest(c, F.lit(float(vmin)))
     if vmax is not None:
         c = F.least(c, F.lit(float(vmax)))
     if vmin is not None and vmax is not None and vmin > vmax:
         c = F.lit(None).cast("double")
+    elif vmin is not None or vmax is not None:
+        c = F.when(F.isnan(raw), raw).otherwise(c)
     return df.withColumn(out, c)
 
 

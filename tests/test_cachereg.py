@@ -51,3 +51,25 @@ def test_release_empties_pool(spark):
     assert len(cachereg._LIVE) == 1
     cachereg.release()
     assert not cachereg._LIVE
+
+
+def test_poisoned_unpersist_surfaces_warning():
+    """ADVICE r5: a failing unpersist during eviction must increment the
+    failure counter and warn once, never silently pass."""
+    import warnings
+
+    class _Poisoned:
+        def unpersist(self):
+            raise RuntimeError("py4j drift")
+
+    before = cachereg.EVICT_FAIL_COUNT
+    cachereg.EVICT_FAIL_COUNT = 0
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            cachereg._evict(_Poisoned())
+            cachereg._evict(_Poisoned())
+        assert cachereg.EVICT_FAIL_COUNT == 2
+        assert sum("cachereg" in str(x.message) for x in w) == 1  # once
+    finally:
+        cachereg.EVICT_FAIL_COUNT = before

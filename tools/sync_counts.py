@@ -19,8 +19,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-#: the canonical phrase — one N, repeated as N/N
-PATTERN = re.compile(r"\d+ registered\s+queries, \d+/\d+ oracle-exact")
+#: the canonical phrase. Only the registered count and the DENOMINATOR
+#: are machine-written; the oracle-exact NUMERATOR is left as authored
+#: (ADVICE r5: blanket digit-rewriting silently restored a false
+#: all-exact claim whenever a query lost oracle-exactness).
+PATTERN = re.compile(
+    r"(\d+)( registered\s+queries, )(\d+)(/)(\d+)( oracle-exact)"
+)
 DOCS = ("README.md", "SURVEY.md")
 
 
@@ -33,11 +38,12 @@ def sync(n: int, write: bool = True) -> dict[str, bool]:
             body = f.read()
         # the phrase may be wrapped across a line break after "registered"
         fresh = PATTERN.sub(
-            lambda m: re.sub(r"\d+", str(n), m.group(0)), body
+            lambda m: f"{n}{m.group(2)}{m.group(3)}{m.group(4)}{n}{m.group(6)}",
+            body,
         )
         hits = PATTERN.findall(body)
         ok = bool(hits) and all(
-            h == re.sub(r"\d+", str(n), h) for h in hits
+            h[0] == str(n) and h[4] == str(n) for h in hits
         )
         out[doc] = ok
         if write and fresh != body:
