@@ -390,8 +390,31 @@ def ivf_topk(
     force; recall controlled by n_probe."""
     import numpy as np
 
-    cdata = _centroid_rows(df, n_lists, vec)
-    qv = _collect_query_vec(df, query_vec_id, vec)
+    # ONE collect job fetches the centroid sample AND the query vector
+    # (union of the pushed-filter row with the TakeOrdered branch; each
+    # was its own ~0.2 s job round trip). Centroid ids are re-derived by
+    # the same (md5, vec_id) sort DRIVER-side, so ids/values are
+    # identical to ivf_centroids' and the oracle is unchanged.
+    md5k = F.md5(F.col("vec_id").cast("string"))
+    qb = df.filter(F.col("vec_id") == query_vec_id).select(
+        F.lit(None).cast("string").alias("_k"), "vec_id", F.col(vec).alias("_v")
+    )
+    cb = (
+        df.select(md5k.alias("_k"), "vec_id", F.col(vec).alias("_v"))
+        .orderBy("_k", "vec_id")
+        .limit(n_lists)
+    )
+    rows = qb.unionByName(cb).collect()
+    qv = np.array(
+        [float(x) for x in next(r["_v"] for r in rows if r["_k"] is None)],
+        dtype=np.float64,
+    )
+    cent = sorted(
+        ((r["_k"], r["vec_id"], r["_v"]) for r in rows if r["_k"] is not None)
+    )
+    cdata = [
+        (i + 1, [float(x) for x in v]) for i, (_, _, v) in enumerate(cent)
+    ]
     # rank the SAME centroid set by distance to the query in the
     # scaled-int64 metric, ties on (_d2, _cid) — DRIVER-side now (n_lists
     # values; the previous crossJoin+TakeOrdered job scanned the corpus
