@@ -100,29 +100,18 @@ def _decode_many(
     return out_t, out_v
 
 
-def encode_chunks(
+def _encode_pipeline(
     df: DataFrame,
-    series: Sequence[str] = ("event_type",),
-    ts: str = "ts",
-    value: str = "value",
-    block_s: int = 7200,
-    salt: int = 1,
-    max_chunk_samples: int = 4096,
-) -> DataFrame:
-    """samples -> chunk rows. One shuffle on (series, block[, salt]).
-
-    Implementation: repartition+sortWithinPartitions, then mapInPandas
-    with manual group detection — one Arrow exchange per 64k-row batch
-    instead of per group (applyInPandas pays per-group overhead, which
-    dominates when chunks are small). Groups never span partitions
-    (hash repartition on the full key); groups MAY span Arrow batches,
-    handled with a carry buffer.
-
-    ``max_chunk_samples`` cuts oversized groups into multiple chunk rows
-    (Prometheus likewise cuts head chunks at ~120 samples): it bounds
-    both chunk decode memory AND the carry buffer — a hot series' block
-    with millions of samples streams through in O(batch) memory instead
-    of accumulating (and re-concatenating) the whole group."""
+    series: Sequence[str],
+    ts: str,
+    value: str,
+    block_s: int,
+    salt: int,
+    max_chunk_samples: int,
+):
+    """Shared encode machinery: (sorted_base, keys, series_l,
+    _encode_groups) — the repartition+sort prep and the per-head encode
+    kernel used by both encode_chunks and roundtrip_chunks."""
     step_ms = block_s * 1000
     base = df.select(
         *series,
@@ -140,7 +129,6 @@ def encode_chunks(
         )
         keys.append("_salt")
 
-    out_schema = f"{_series_schema(df, series)}, {CHUNK_FIELDS}"
     series_l = list(series)
     # explicit partition count = the session's configured shuffle
     # parallelism. AQE's byte-based coalescing under-parallelizes this
@@ -195,32 +183,112 @@ def encode_chunks(
         )
         return pd.DataFrame(rows)
 
-    def build(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if not len(pdf):
-                continue
-            # hold back the trailing (possibly incomplete) group
-            last_key = pdf[keys].iloc[-1]
-            tail_mask = (pdf[keys] == last_key).all(axis=1).to_numpy()
-            # rows of the final contiguous run with the last key
-            cut = len(pdf) - int(
-                np.argmin(tail_mask[::-1]) if not tail_mask.all() else len(pdf)
-            )
-            # a giant trailing group is flushed as full chunks immediately
-            # (max_chunk_samples allows mid-group cuts), keeping the carry
-            # — and its per-batch re-concat — bounded
-            tail_len = len(pdf) - cut
-            if tail_len > max_chunk_samples:
-                full = cut + (tail_len // max_chunk_samples) * max_chunk_samples
-                cut = full
-            head, carry = pdf.iloc[:cut], pdf.iloc[cut:].copy()
-            if len(head):
-                yield _encode_groups(head)
+    return sorted_base, keys, series_l, _encode_groups
+
+
+def _carry_batches(batches, keys, max_chunk_samples: int):
+    """Yield head frames whose trailing (possibly incomplete) group is
+    carried into the next Arrow batch. Groups never span partitions (hash
+    repartition on the full key); they MAY span batches — this carry
+    buffer re-attaches the tail. A giant trailing group is flushed as
+    full chunks immediately (max_chunk_samples allows mid-group cuts),
+    keeping the carry — and its per-batch re-concat — bounded."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
         if carry is not None and len(carry):
-            yield _encode_groups(carry)
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if not len(pdf):
+            continue
+        # hold back the trailing (possibly incomplete) group
+        last_key = pdf[keys].iloc[-1]
+        tail_mask = (pdf[keys] == last_key).all(axis=1).to_numpy()
+        # rows of the final contiguous run with the last key
+        cut = len(pdf) - int(
+            np.argmin(tail_mask[::-1]) if not tail_mask.all() else len(pdf)
+        )
+        tail_len = len(pdf) - cut
+        if tail_len > max_chunk_samples:
+            cut = cut + (tail_len // max_chunk_samples) * max_chunk_samples
+        head, carry = pdf.iloc[:cut], pdf.iloc[cut:].copy()
+        if len(head):
+            yield head
+    if carry is not None and len(carry):
+        yield carry
+
+
+def encode_chunks(
+    df: DataFrame,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+    block_s: int = 7200,
+    salt: int = 1,
+    max_chunk_samples: int = 4096,
+) -> DataFrame:
+    """samples -> chunk rows. One shuffle on (series, block[, salt]).
+
+    Implementation: repartition+sortWithinPartitions, then mapInPandas
+    with manual group detection — one Arrow exchange per 64k-row batch
+    instead of per group (applyInPandas pays per-group overhead, which
+    dominates when chunks are small). Groups never span partitions
+    (hash repartition on the full key); groups MAY span Arrow batches,
+    handled with a carry buffer (_carry_batches).
+
+    ``max_chunk_samples`` cuts oversized groups into multiple chunk rows
+    (Prometheus likewise cuts head chunks at ~120 samples): it bounds
+    both chunk decode memory AND the carry buffer — a hot series' block
+    with millions of samples streams through in O(batch) memory instead
+    of accumulating (and re-concatenating) the whole group."""
+    sorted_base, keys, series_l, _encode_groups = _encode_pipeline(
+        df, series, ts, value, block_s, salt, max_chunk_samples
+    )
+    out_schema = f"{_series_schema(df, series)}, {CHUNK_FIELDS}"
+
+    def build(batches):
+        for head in _carry_batches(batches, keys, max_chunk_samples):
+            yield _encode_groups(head)
+
+    return sorted_base.mapInPandas(build, schema=out_schema)
+
+
+def roundtrip_chunks(
+    df: DataFrame,
+    series: Sequence[str] = ("event_type",),
+    ts: str = "ts",
+    value: str = "value",
+    block_s: int = 7200,
+    salt: int = 1,
+    max_chunk_samples: int = 4096,
+) -> DataFrame:
+    """decode_chunks(encode_chunks(df)) fused into ONE Python crossing.
+
+    The unfused pair materializes every chunk row as JVM rows between two
+    mapInPandas stages: encode's output (series keys + binary payloads)
+    crosses Python->JVM over Arrow only so decode can pull it JVM->Python
+    right back — two full serializations of the chunk table that exist
+    for no consumer (guide §4: eliminate boundary crossings). Here the
+    same _encode_groups kernel runs per head batch and its output is
+    decoded IN PLACE with the same _decode_many kernel, so results are
+    bit-identical to the unfused pair by construction (pinned by
+    tests/test_skew.py::test_roundtrip_chunks_matches_unfused_pair);
+    the encode->decode codec work itself is unchanged — every sample
+    still round-trips the DoD/Gorilla wire bytes."""
+    sorted_base, keys, series_l, _encode_groups = _encode_pipeline(
+        df, series, ts, value, block_s, salt, max_chunk_samples
+    )
+    out_schema = f"{_series_schema(df, series)}, ts_ms bigint, value double"
+
+    def build(batches):
+        for head in _carry_batches(batches, keys, max_chunk_samples):
+            enc = _encode_groups(head)
+            ns = enc["n"].to_numpy(np.int64)
+            t, v = _decode_many(
+                enc["ts_chunk"].tolist(), enc["val_chunk"].tolist(), ns
+            )
+            d = {c: np.repeat(enc[c].to_numpy(), ns) for c in series_l}
+            d["ts_ms"] = t
+            d["value"] = v
+            yield pd.DataFrame(d)
 
     return sorted_base.mapInPandas(build, schema=out_schema)
 

@@ -42,19 +42,23 @@ UNPOOLED_COUNT = 0
 
 
 def _plan_key(df: DataFrame) -> str | None:
-    """Canonicalized analyzed-plan string — the same identity Spark's
-    CacheManager uses for cache lookup (expression IDs normalized), so a
+    """Canonicalized analyzed-plan identity (``semanticHash`` — the hash
+    of the same normalized plan Spark's CacheManager matches on), so a
     re-built plan-equal frame refreshes its pool slot instead of adding a
     duplicate whose later eviction would unpersist the SHARED cache entry
-    out from under newer registrations. Returns None when the plan string
-    is unavailable — the frame then stays cached but UNPOOLED (a bounded
-    leak), because an id()-style fallback key would re-create exactly the
-    duplicate-entry eviction hazard the key exists to prevent."""
+    out from under newer registrations. The hash replaces the full
+    canonicalized-plan STRING used before: shipping the rendered tree
+    over py4j cost ~0.1 s of driver wall per LSH invocation (3 cached()
+    calls x a multi-KB plan string), while the hash is one int. A 32-bit
+    collision between genuinely different plans can only skip a cache()
+    (consumers then recompute — a perf miss, never a wrong result).
+    Returns None when the hash is unavailable — the frame then stays
+    cached but UNPOOLED (a bounded leak), because an id()-style fallback
+    key would re-create exactly the duplicate-entry eviction hazard the
+    key exists to prevent."""
     global UNPOOLED_COUNT
     try:
-        return (
-            df._jdf.queryExecution().analyzed().canonicalized().toString()
-        )
+        return str(df.semanticHash())
     except Exception:
         UNPOOLED_COUNT += 1
         if UNPOOLED_COUNT == 1:

@@ -377,6 +377,66 @@ def _ivf_assign(
     return df.mapInPandas(go, out_schema)
 
 
+def _ivf_probe_scores(
+    df: DataFrame,
+    cdata: list[tuple[int, list[float]]],
+    probe_lists: list[int],
+    qv,
+    vec: str,
+) -> DataFrame:
+    """Fused assign -> probe-filter -> exact-cosine: ONE narrow numpy
+    mapInPandas pass returning (vec_id, cosine) only. The previous chain
+    (_ivf_assign -> JVM isin filter -> _cosine_scores) crossed the
+    64-float embedding column over the Arrow pipe TWO extra times —
+    assign's output shipped it back to the JVM just so the next
+    mapInPandas could ship it to Python again (measured ~0.3 s of the
+    query's wall at 20k x 64; guide §4.3 "pass only the columns the
+    function needs" applies to outputs too). Assignment (strict < argmin,
+    ties keep the smaller cid), probe membership, and the scaled-int64
+    cosine are the exact per-row IEEE/int ops of _ivf_assign +
+    _cosine_scores, so the kept rows and every value are bit-equal."""
+    import numpy as np
+    import pandas as pd
+
+    cids, C = _assign_arrays(cdata)
+    probe = np.zeros(int(cids.max()) + 1, dtype=bool)
+    for cid in probe_lists:
+        probe[cid] = True
+    id_t = df.schema["vec_id"].dataType.simpleString()
+    nb = int(np.floor(qv * qv * SCALE + 0.5).astype(np.int64).sum())
+
+    def go(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec].to_numpy()).astype(np.float64)
+            best_d = _d2_batch(X, C[0])
+            best_i = np.zeros(len(X), dtype=np.int64)
+            for li in range(1, len(cids)):
+                t = _d2_batch(X, C[li])
+                m = t < best_d  # strict: ties keep the smaller cid
+                best_d = np.where(m, t, best_d)
+                best_i = np.where(m, li, best_i)
+            keep = probe[cids[best_i]]
+            if not keep.any():
+                continue
+            Xk = X[keep]
+            dot = np.floor(Xk * qv[None, :] * SCALE + 0.5).astype(
+                np.int64
+            ).sum(axis=1)
+            na = np.floor(Xk * Xk * SCALE + 0.5).astype(np.int64).sum(axis=1)
+            cos = dot.astype(np.float64) / (
+                np.sqrt(na.astype(np.float64)) * np.sqrt(float(nb))
+            )
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy()[keep], "cosine": cos}
+            )
+
+    return df.select("vec_id", vec).mapInPandas(
+        go, f"vec_id {id_t}, cosine double"
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec_id: int,
@@ -426,16 +486,13 @@ def ivf_topk(
     )
     probe_lists = [cid for _, cid in ranked[:n_probe]]
     # one narrow pass: assign each row to its list, keep only probed
-    # lists, exact cosine — assignment+filter+score fused in a single
-    # mapInPandas (previously: broadcast-join assignment + a second
-    # broadcast of the query + interpreted per-element scoring)
-    indexed = _ivf_assign(
-        df.filter(F.col("vec_id") != query_vec_id).select("vec_id", vec),
-        cdata,
-        vec,
+    # lists, exact cosine — assignment, probe filter and scoring fused in
+    # a SINGLE mapInPandas so the embedding column crosses the Arrow pipe
+    # once (the assign -> JVM filter -> score chain shipped it back and
+    # forth twice more; see _ivf_probe_scores)
+    scored = _ivf_probe_scores(
+        df.filter(F.col("vec_id") != query_vec_id), cdata, probe_lists, qv, vec
     )
-    cands = indexed.filter(F.col("_list").isin(probe_lists))
-    scored = _cosine_scores(cands, qv, vec)
     return (
         scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)

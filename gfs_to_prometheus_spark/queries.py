@@ -440,9 +440,12 @@ from . import chunks as chunks_mod  # noqa: E402
 def chunk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode every (event_type, 2h block) into DoD+Gorilla binary chunks,
     decode back; the oracle is the identity projection — equality proves the
-    codecs and the chunk plumbing are lossless."""
+    codecs and the chunk plumbing are lossless. Encode+decode run fused in
+    one Python crossing (chunks.roundtrip_chunks) — same kernels, same
+    wire bytes, bit-identical output, minus two Arrow serializations of
+    the chunk table that existed only to hop between the two stages."""
     ev = load(spark, sf_dir, "events")
-    return chunks_mod.decode_chunks(chunks_mod.encode_chunks(ev))
+    return chunks_mod.roundtrip_chunks(ev)
 
 
 @query(
@@ -453,7 +456,7 @@ def chunk_roundtrip_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same, but with salt=4 splitting each hot block into 4 chunks —
     the explicit skew control; decode must still be the identity."""
     ev = load(spark, sf_dir, "events")
-    return chunks_mod.decode_chunks(chunks_mod.encode_chunks(ev, salt=4))
+    return chunks_mod.roundtrip_chunks(ev, salt=4)
 
 
 @query(
