@@ -35,22 +35,28 @@ def shingles(df: DataFrame, text: str = "text", n: int = 3) -> DataFrame:
     contribute their whole trimmed text as the single shingle.
 
     The token array is materialized as a column BEFORE the lambda uses it:
-    referencing ws_tokens(text) inside transform() re-evaluates the split
-    per array element (O(len^2) — measured 4x slowdown on sf0.1)."""
-    base = df.select("doc_id", F.trim(F.col(text)).alias("_t"), ws_tokens(text).alias("_w"))
-    toks = F.col("_w")
-    sh = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array(F.col("_t")))
-    return base.select("doc_id", F.explode(sh).alias("shingle"))
+    referencing the split inside transform() re-evaluates it per array
+    element (O(len^2) — measured 4x slowdown on sf0.1). Both projections
+    are built from SQL strings (two parser calls) instead of nested
+    Column-object lambdas: the py4j construction of the transform chain
+    cost ~0.05 s of driver wall per call, and shingles() runs twice per
+    near-dup query (signature chain + verify side) — the parsed
+    expressions (trim/split/sequence/element_at/concat_ws) are the exact
+    ones the Column form produced, so values and oracles are unchanged."""
+    grams = ", ".join(
+        f"element_at(_w, CAST(i + {j} AS INT))" for j in range(n)
+    )
+    return df.selectExpr(
+        "doc_id",
+        f"trim(`{text}`) AS _t",
+        f"split(trim(`{text}`), '\\\\s+') AS _w",
+    ).selectExpr(
+        "doc_id",
+        f"explode(CASE WHEN size(_w) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(_w) - {n - 1}), "
+        f"i -> concat_ws(' ', {grams}))) "
+        "ELSE array(_t) END) AS shingle",
+    )
 
 
 def exact_dups(df: DataFrame, text: str = "text") -> DataFrame:
@@ -196,24 +202,19 @@ def minhash_lsh_candidates(
     # path); a 2^-64 hash collision can only ADD a candidate, which the
     # exact-Jaccard verify then scores truthfully — same universal trade
     # as the xxhash64 shingle join keys
-    banded = mins.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"_m{b * r + j}") for j in range(r)]
-                        ).alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("pos", "bk"),
-    ).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    # SQL-string build (two parser calls): the Column-object struct/
+    # posexplode construction cost ~0.08 s of driver wall per invocation
+    # (bench times query construction); same band/key expressions, same
+    # values, same oracle
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'key', xxhash64({cols}))".format(
+            b=b, cols=", ".join(f"_m{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
     )
+    banded = mins.selectExpr(
+        "doc_id", f"posexplode(array({band_structs})) AS (pos, bk)"
+    ).selectExpr("doc_id", "bk.band AS band", "bk.key AS key")
     banded = cachereg.cached(banded, eager=True)  # land before the self-join's two reads
     a, b = banded.alias("a"), banded.alias("b")
     cands = (

@@ -217,31 +217,29 @@ def ann_lsh_topk(
     Size `planes` ~ log2(corpus / target bucket size): buckets shrink 2x
     per plane, so at 10^12 vectors ~26 planes keeps candidate sets small
     while 6 suits the 500-vector fixture (64 buckets, ~8 each)."""
+    import numpy as np
+
     sig = lsh_signature(F.col(vec), planes, dim)
     corpus = df.withColumn("_sig", sig)
-    qrow = corpus.filter(F.col("vec_id") == query_vec_id).select(
-        F.col(vec).alias("_qv"), F.col("_sig").alias("_qsig")
-    )
-    # multi-probe bucket list: the query signature and 1-bit flips
-    probes = [F.col("_qsig")]
+    # query vector + signature in one pushed-filter collect; the probe
+    # bucket list (query signature and its 1-bit flips) is then plain
+    # driver arithmetic instead of an explode + broadcast join — and the
+    # candidate re-rank is the shared numpy kernel (_cosine_scores, bit-
+    # equal to the interpreted zip_with/aggregate fold it replaces, which
+    # ran n_cands x 3 x dim boxed ops; guide §4.2)
+    (qrow,) = corpus.filter(F.col("vec_id") == query_vec_id).select(
+        vec, "_sig"
+    ).collect()
+    qv = np.array([float(x) for x in qrow[vec]], dtype=np.float64)
+    qsig = int(qrow["_sig"])
+    probes = [qsig]
     if probe_hamming >= 1:
-        probes += [
-            F.col("_qsig").bitwiseXOR(F.lit(1 << i)) for i in range(planes)
-        ]
-    qbuckets = qrow.select(
-        "_qv", F.explode(F.array(*probes)).alias("_sig")
-    )
-    cands = corpus.filter(F.col("vec_id") != query_vec_id).join(
-        F.broadcast(qbuckets), "_sig"
-    )
-    dot = _sumlong(_dot_terms(F.col(vec), F.col("_qv")))
-    na = _sumlong(_dot_terms(F.col(vec), F.col(vec)))
-    nb = _sumlong(_dot_terms(F.col("_qv"), F.col("_qv")))
-    cos = dot.cast("double") / (
-        F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+        probes += [qsig ^ (1 << i) for i in range(planes)]
+    cands = corpus.filter(F.col("vec_id") != query_vec_id).filter(
+        F.col("_sig").isin(probes)
     )
     return (
-        cands.select("vec_id", cos.alias("cosine"))
+        _cosine_scores(cands, qv, vec)
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)
     )
