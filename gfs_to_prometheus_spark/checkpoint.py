@@ -40,6 +40,13 @@ def lineage_path(root: str) -> str:
     return os.path.join(root, "_lineage")
 
 
+def _is_local_path(p: str) -> bool:
+    """True for plain local filesystem paths (no URI scheme). Any scheme
+    (hdfs://, s3a://, even file://) goes through the Hadoop FS write
+    path — the driver-side parquet append uses os-level calls only."""
+    return "://" not in p
+
+
 def _path_exists(spark: SparkSession, p: str) -> bool:
     """Filesystem-agnostic existence probe via the Hadoop FS API (works on
     HDFS/S3A/local alike) — NOT a try/except around the read: a blanket
@@ -107,9 +114,44 @@ def append_lineage(
             "committed_utc": now,
         }
     )
-    spark.createDataFrame(pdf, LINEAGE_SCHEMA).coalesce(1).write.mode(
-        "append"
-    ).parquet(lineage_path(root))
+    path = lineage_path(root)
+    if _is_local_path(path):
+        # driver-side parquet append for local roots: the lineage frame
+        # is one row per committed PARTITION (driver-sized by design), so
+        # a full Spark write job (plan + codegen + task + commit protocol,
+        # ~0.2-0.4 s per commit) buys nothing over writing the file
+        # directly. Append = a new uniquely-named file; the ".tmp" name is
+        # invisible to parquet readers until the atomic rename, matching
+        # the job-commit visibility rule of the Spark path. Non-local
+        # roots (hdfs://, s3a://) keep the Spark write below.
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pa.schema(
+            [
+                ("job_id", pa.string()),
+                ("table", pa.string()),
+                ("part", pa.string()),
+                ("rows", pa.int64()),
+                ("sum_micro_checksum", pa.int64()),
+                ("wall_ms", pa.int64()),
+                ("committed_utc", pa.string()),
+            ]
+        )
+        os.makedirs(path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(path, f".{name}.tmp")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            tmp,
+        )
+        os.replace(tmp, os.path.join(path, name))
+    else:
+        spark.createDataFrame(pdf, LINEAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
 
 
 def write_partitioned(
